@@ -1,0 +1,20 @@
+from gpscore.analysis.surfaces import objective_surface, wrong_crps_objective
+from gpscore.analysis.sensitivity import (
+    crps_mean_error_curve,
+    crps_var_error_curve,
+    logs_mean_error_curve,
+    logs_var_error_curve,
+    dss_correlation_curve,
+    es_correlation_curve,
+)
+
+__all__ = [
+    "objective_surface",
+    "wrong_crps_objective",
+    "crps_mean_error_curve",
+    "crps_var_error_curve",
+    "logs_mean_error_curve",
+    "logs_var_error_curve",
+    "dss_correlation_curve",
+    "es_correlation_curve",
+]

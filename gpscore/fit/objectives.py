@@ -1,0 +1,128 @@
+"""Differentiable training objectives: scoring rule ∘ predictive ∘ kernel.
+
+Each objective is a pure function ``loss(params, x, y, key) -> scalar`` suitable for
+``jax.value_and_grad`` + ``lax.scan`` (the reference hand-rolls a separate Python
+training loop per objective per script; see SURVEY.md §2.5).
+
+Rules:
+- ``crps``  CRPS on the LOO predictive (the paper's core method,
+            `SIMPLE-DATA FULL-comapre.py:204-213`)
+- ``logs``  log score on the LOO predictive (`SIMPLE-DATA FULL-comapre.py:382-392`;
+            FITC variant applies the reference's variance "correction",
+            `KIN40K-COMPARE-ALL-FITC-20.py:441-446`)
+- ``nlml``  negative log marginal likelihood (`SIMPLE-DATA FULL-comapre.py:289-296`)
+- ``dss``   sum of Dawid–Sebastiani scores over k-fold block conditionals
+            (`kin40k-FULL-compare.py:497-538`)
+- ``es``    sum of Monte-Carlo energy scores over k-fold blocks (needs a PRNG key;
+            `kin40k-FULL-compare.py:616-657`)
+- ``kc``    sum of per-fold CRPS on block-conditional diagonals
+            (`KIN40K-COMPARE-ALL-FITC-20.py:667-714`)
+- ``interval`` mean interval score on the LOO predictive (BASELINE.json addition)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.models import exact as exact_mod
+from gpscore.models import fitc as fitc_mod
+from gpscore.ops.kernels import gram
+from gpscore.scoring import rules
+
+OBJECTIVE_RULES = ("crps", "logs", "nlml", "dss", "es", "kc", "interval")
+
+
+def make_objective(
+    rule: str,
+    model: str = "exact",
+    kernel: str = "ard",
+    fold_k: int = 4,
+    num_sim: int = 300,
+    es_beta: float = 1.0,
+    interval_alpha: float = 0.05,
+) -> Callable:
+    """Build ``loss(params, x, y, key) -> scalar``.
+
+    ``key`` is consumed only by the ``es`` rule but always accepted, so every
+    objective has an identical signature for scan/vmap composition.
+    """
+    if rule not in OBJECTIVE_RULES:
+        raise ValueError(f"unknown rule {rule!r}; expected one of {OBJECTIVE_RULES}")
+    if model not in ("exact", "fitc"):
+        raise ValueError(f"unknown model {model!r}")
+
+    def _loo(params, x, y):
+        if model == "exact":
+            k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
+            return exact_mod.loo_exact(k_ff, y, params.noise_sq)
+        return fitc_mod.loo_fitc(
+            x, y, params, kind=kernel, variance_correction=(rule == "logs")
+        )
+
+    def _kfold(params, x, y, diag_only):
+        if model == "exact":
+            k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
+            return exact_mod.kfold_exact(
+                k_ff, y, params.noise_sq, fold_k, diag_only=diag_only
+            )
+        return fitc_mod.kfold_fitc(x, y, params, fold_k, kind=kernel, diag_only=diag_only)
+
+    if rule == "crps":
+
+        def loss(params, x, y, key=None):
+            p = _loo(params, x, y)
+            return rules.crps_gaussian(p.mean, p.cov, y)
+
+    elif rule == "logs":
+
+        def loss(params, x, y, key=None):
+            p = _loo(params, x, y)
+            return rules.logs_gaussian(p.mean, p.cov, y)
+
+    elif rule == "interval":
+
+        def loss(params, x, y, key=None):
+            p = _loo(params, x, y)
+            return rules.interval_score(p.mean, p.cov, y, alpha=interval_alpha)
+
+    elif rule == "nlml":
+
+        def loss(params, x, y, key=None):
+            if model == "exact":
+                k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
+                return exact_mod.nlml_exact(k_ff, y, params.noise_sq)
+            return fitc_mod.nlml_fitc(x, y, params, kind=kernel)
+
+    elif rule == "dss":
+
+        def loss(params, x, y, key=None):
+            p = _kfold(params, x, y, diag_only=False)
+            y_b = y.reshape(p.mean.shape)
+            per_fold = jax.vmap(rules.dss)(p.mean, p.cov, y_b)
+            return jnp.sum(per_fold)
+
+    elif rule == "es":
+
+        def loss(params, x, y, key):
+            p = _kfold(params, x, y, diag_only=False)
+            y_b = y.reshape(p.mean.shape)
+            keys = jax.random.split(key, p.mean.shape[0])
+            per_fold = jax.vmap(
+                lambda k, m, c, yy: rules.energy_score(
+                    k, m, c, yy, num_sim=num_sim, beta=es_beta
+                )
+            )(keys, p.mean, p.cov, y_b)
+            return jnp.sum(per_fold)
+
+    elif rule == "kc":
+
+        def loss(params, x, y, key=None):
+            p = _kfold(params, x, y, diag_only=True)
+            y_b = y.reshape(p.mean.shape)
+            return rules.crps_kfold(p.mean, p.cov, y_b)
+
+    loss.__name__ = f"{rule}_{model}_objective"
+    return loss

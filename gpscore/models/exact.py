@@ -1,0 +1,124 @@
+"""Exact-GP predictive distributions: test-time, leave-one-out, and k-fold.
+
+All functions take explicit kernel matrices / parameters (the reference reads
+``sigma_noise_sq`` and the hyperparameters from module globals, e.g.
+`SIMPLE-DATA FULL-comapre.py:59-64`).
+
+Every quantity of one training iteration derives from a *single* Cholesky
+factorization of K_hat = K_ff + sigma^2 I. The reference factors the same matrix
+up to three times per iteration (inverse at `SIMPLE-DATA FULL-comapre.py:209`,
+solve at `:210`, and for NLML paths the log-det at `:294`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.ops import linalg
+from gpscore.utils.precision import MM_PRECISION, matmul
+
+
+class Gaussian(NamedTuple):
+    """A (possibly diagonal) Gaussian predictive: mean [n,] and cov.
+
+    ``cov`` is [n] (diagonal variances) or [n, n] (full covariance)."""
+
+    mean: jnp.ndarray
+    cov: jnp.ndarray
+
+
+def exact_predictive(k_star_f, k_ff, k_ss, y, noise_sq, *, L=None) -> Gaussian:
+    """Noise-inclusive exact GP predictive (reference ``cal_mean_and_cov``,
+    `SIMPLE-DATA FULL-comapre.py:106-111`):
+
+        mu*  = K*f (Kff + s^2 I)^-1 y
+        Cov* = s^2 I + K** - K*f (Kff + s^2 I)^-1 Kf*
+    """
+    n = k_ff.shape[0]
+    t = k_ss.shape[0]
+    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
+    if L is None:
+        L = linalg.chol_factor(K_hat)
+    alpha = linalg.chol_solve_from_factor(L, y.reshape(n, 1))
+    mean = matmul(k_star_f, alpha)[:, 0]
+    V = linalg.tri_solve(L, k_star_f.T)  # [n, t]
+    cov = noise_sq * jnp.eye(t, dtype=k_ss.dtype) + k_ss - matmul(V.T, V)
+    return Gaussian(mean, cov)
+
+
+def loo_exact(k_ff, y, noise_sq) -> Gaussian:
+    """Leave-one-out predictive via the Rasmussen–Williams identities
+    (reference inline at `SIMPLE-DATA FULL-comapre.py:207-211`):
+
+        mu_i     = y_i - [K_hat^-1 y]_i / [K_hat^-1]_ii
+        sigma_i^2 = 1 / [K_hat^-1]_ii
+
+    One Cholesky; diag(K_hat^-1) from the factor without materializing the inverse.
+    Returns a diagonal Gaussian over the n training points.
+    """
+    n = k_ff.shape[0]
+    y = y.reshape(n)
+    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
+    L = linalg.chol_factor(K_hat)
+    kinv_diag = linalg.inv_diag_from_chol(L)
+    kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
+    mean = y - kinv_y / kinv_diag
+    var = 1.0 / kinv_diag
+    return Gaussian(mean, var)
+
+
+def kfold_exact(k_ff, y, noise_sq, fold_k: int, *, diag_only: bool = False):
+    """k-fold block conditionals (reference `kin40k-FULL-compare.py:500-530`).
+
+    Partition K_hat^-1 into fold_k diagonal blocks A_b = [K_hat^-1]_bb; then
+
+        m_b   = y_b - A_b^-1 [K_hat^-1 y]_b
+        Cov_b = A_b^-1            (diag(A_b^-1) if ``diag_only``, the "kc" variant,
+                                   `KIN40K-COMPARE-ALL-FITC-20.py:703-706`)
+
+    Requires n % fold_k == 0 (the reference silently assumes this: every fold uses
+    ``index1 = n // fold_k`` sized identity solves, `kin40k-FULL-compare.py:521-530`).
+    Returns a batched Gaussian with leading fold axis: mean [k, nb],
+    cov [k, nb, nb] or [k, nb].
+    """
+    n = k_ff.shape[0]
+    if n % fold_k != 0:
+        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
+    nb = n // fold_k
+    y = y.reshape(n)
+    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
+    L = linalg.chol_factor(K_hat)
+    Kinv = linalg.spd_inverse(L=L)
+    Kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
+
+    # [k, nb, nb] diagonal blocks of K_hat^-1, batched via reshape (no python loop).
+    blocks = Kinv.reshape(fold_k, nb, fold_k, nb)
+    A = jnp.stack([blocks[b, :, b, :] for b in range(fold_k)])  # static small k
+    y_b = y.reshape(fold_k, nb)
+    Kinv_y_b = Kinv_y.reshape(fold_k, nb, 1)
+
+    Lb = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
+    eye = jnp.eye(nb, dtype=A.dtype)
+    Ainv = jax.vmap(lambda Lb_: linalg.chol_solve_from_factor(Lb_, eye))(Lb)
+    mean = y_b - jnp.einsum(
+        "kij,kjo->kio", Ainv, Kinv_y_b, precision=MM_PRECISION
+    ).reshape(fold_k, nb)
+    if diag_only:
+        return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
+    return Gaussian(mean, Ainv)
+
+
+def nlml_exact(k_ff, y, noise_sq):
+    """Negative log marginal likelihood (reference inline,
+    `SIMPLE-DATA FULL-comapre.py:292-296`):
+        0.5 n log 2pi + sum log diag(chol(K_hat)) + 0.5 y^T K_hat^-1 y
+    """
+    n = k_ff.shape[0]
+    y = y.reshape(n, 1)
+    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
+    L = linalg.chol_factor(K_hat)
+    quad = 0.5 * jnp.sum(y * linalg.chol_solve_from_factor(L, y))
+    return 0.5 * n * jnp.log(2.0 * jnp.pi) + linalg.half_logdet(L) + quad

@@ -1,0 +1,108 @@
+"""Cholesky-centric dense linear algebra.
+
+The reference's `chol_solve(B, A)` (`SIMPLE-DATA FULL-comapre.py:42-46`) factors with
+`torch.potrf` and then — wastefully — runs two *general LU* solves (`torch.gesv`)
+against the triangular factors. Here the factor feeds true triangular solves, and the
+single factorization is reused for every downstream quantity (solve, log-det, inverse
+diagonal, full inverse): the reference re-factors the same matrix up to three times per
+training iteration (`SIMPLE-DATA FULL-comapre.py:209-210`).
+
+Failure semantics: `jnp.linalg.cholesky` returns NaN rows (not an exception) for
+non-SPD input, so the reference's `try/except RuntimeError` crash recovery
+(`kin40k-FULL-compare.py:615,726-732`) is replaced by NaN detection + escalating
+jitter inside jit (`safe_cholesky`) — principled, vmap-safe fault tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from gpscore.utils.precision import matmul
+
+
+def chol_factor(A):
+    """Lower Cholesky factor of SPD A."""
+    return jnp.linalg.cholesky(A)
+
+
+def tri_solve(L, B, *, lower: bool = True, trans: bool = False):
+    return solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
+
+
+def chol_solve_from_factor(L, B):
+    """A^{-1} B given A = L L^T."""
+    return tri_solve(L, tri_solve(L, B), trans=True)
+
+
+def chol_solve(B, A):
+    """A^{-1} B for SPD A (argument order matches the reference's chol_solve)."""
+    return chol_solve_from_factor(chol_factor(A), B)
+
+
+def spd_inverse(A=None, *, L=None):
+    """Materialized SPD inverse (needed for the k-fold diagonal blocks,
+    reference `kin40k-FULL-compare.py:507`)."""
+    if L is None:
+        L = chol_factor(A)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return chol_solve_from_factor(L, eye)
+
+
+def inv_diag_from_chol(L):
+    """diag(A^{-1}) from A = L L^T without forming A^{-1}:
+    A^{-1} = L^{-T} L^{-1}  =>  diag(A^{-1})_i = sum_k (L^{-1})_{ki}^2.
+
+    One triangular solve against I; feeds the LOO identities
+    (reference computes the same diagonal by materializing the full inverse,
+    `SIMPLE-DATA FULL-comapre.py:209`).
+    """
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Linv = tri_solve(L, eye)
+    return jnp.sum(Linv * Linv, axis=0)
+
+
+def half_logdet(L):
+    """0.5 * log det A = sum log diag(L)  (reference `SIMPLE-DATA
+    FULL-comapre.py:294` via potrf)."""
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+# Escalating jitter ladder. First rung 0.0 preserves exact parity with the
+# reference when the matrix is healthy; later rungs recover replicates the
+# reference would have zeroed out via try/except.
+_JITTER_LADDER = (0.0, 1e-6, 1e-4, 1e-2)
+
+
+def safe_cholesky(A, ladder=_JITTER_LADDER):
+    """Cholesky with in-jit escalating-jitter retry.
+
+    Returns ``(L, ok)`` where ``ok`` is False only if every ladder rung failed
+    (L is then NaN). Scale-aware: jitter is relative to mean diagonal.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    scale = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+
+    def attempt(jit_frac):
+        return jnp.linalg.cholesky(A + (jit_frac * scale) * eye)
+
+    L = attempt(ladder[0])
+    for frac in ladder[1:]:
+        bad = jnp.any(jnp.isnan(L))
+        L = jax.lax.cond(bad, lambda: attempt(frac), lambda: L)
+    ok = jnp.logical_not(jnp.any(jnp.isnan(L)))
+    return L, ok
+
+
+def symmetric_sqrt(C):
+    """Symmetric PSD square root U diag(s)^0.5 U^T.
+
+    The reference uses torch.svd (`kin40k-FULL-compare.py:74-77`); for a symmetric
+    PSD matrix eigh is the TPU-native equivalent (same result, cheaper, and with a
+    well-defined JVP). Eigenvalues are clamped at 0 to absorb fp32 round-off.
+    """
+    s, U = jnp.linalg.eigh(C)
+    s = jnp.maximum(s, 0.0)
+    return matmul(U * jnp.sqrt(s)[..., None, :], jnp.swapaxes(U, -1, -2))

@@ -1,0 +1,12 @@
+from gpscore.parallel.mesh import make_mesh, batch_sharding, replicated
+from gpscore.parallel.sharded_gram import sharded_gram
+from gpscore.parallel.sweeps import restart_sweep, sharded_restart_sweep
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "sharded_gram",
+    "restart_sweep",
+    "sharded_restart_sweep",
+]

@@ -1,0 +1,17 @@
+from gpscore.scoring.rules import (
+    crps_gaussian,
+    logs_gaussian,
+    dss,
+    energy_score,
+    interval_score,
+    crps_kfold,
+)
+
+__all__ = [
+    "crps_gaussian",
+    "logs_gaussian",
+    "dss",
+    "energy_score",
+    "interval_score",
+    "crps_kfold",
+]

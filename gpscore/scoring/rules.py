@@ -1,0 +1,141 @@
+"""Proper scoring rules for Gaussian predictive distributions.
+
+All rules are negatively oriented (smaller is better) and differentiable; they are
+the training objectives of the framework (the paper's central idea). Formulas match
+the reference exactly:
+
+- CRPS        `SIMPLE-DATA FULL-comapre.py:76-84`
+- log score   `SIMPLE-DATA FULL-comapre.py:68-73`
+- DSS         `SIMPLE-DATA FULL-comapre.py:87-92`
+- energy score `kin40k-FULL-compare.py:70-101` (Monte-Carlo, explicit PRNG key here
+  instead of the reference's unseeded torch.randn at `:79-80`)
+- interval score: Gneiting & Raftery (2007) eq. 43 — driver-requested addition
+  (BASELINE.json north star), not present in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.ops import linalg
+from gpscore.utils.precision import matmul
+
+_SQRT2 = math.sqrt(2.0)
+_SQRT_PI = math.sqrt(math.pi)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _std_normal_cdf(z):
+    return 0.5 * (1.0 + jax.lax.erf(z / _SQRT2))
+
+
+def _std_normal_pdf(z):
+    return _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+
+
+def crps_gaussian(mean, var, y):
+    """Mean closed-form Gaussian CRPS over all sites:
+        sigma * [ z (2 Phi(z) - 1) + 2 phi(z) - 1/sqrt(pi) ],  z = (y - mu)/sigma.
+    (reference `crps`, `SIMPLE-DATA FULL-comapre.py:76-84`)
+    """
+    mean, var, y = jnp.ravel(mean), jnp.ravel(var), jnp.ravel(y)
+    sigma = jnp.sqrt(var)
+    z = (y - mean) / sigma
+    per_site = sigma * (
+        z * (2.0 * _std_normal_cdf(z) - 1.0) + 2.0 * _std_normal_pdf(z) - 1.0 / _SQRT_PI
+    )
+    return jnp.mean(per_site)
+
+
+def logs_gaussian(mean, var, y):
+    """Mean Gaussian negative log predictive density:
+        (y - mu)^2 / (2 sigma^2) + log sigma + 0.5 log 2pi
+    (reference `logs`, `SIMPLE-DATA FULL-comapre.py:68-73`)
+    """
+    mean, var, y = jnp.ravel(mean), jnp.ravel(var), jnp.ravel(y)
+    per_site = (y - mean) ** 2 / (2.0 * var) + 0.5 * jnp.log(var) + _HALF_LOG_2PI
+    return jnp.mean(per_site)
+
+
+def dss(mean, cov, y):
+    """Dawid–Sebastiani score of one multivariate-Gaussian block:
+        0.5 n log 2pi + 0.5 log det C + 0.5 (y-m)^T C^-1 (y-m)
+    (reference `dss`, `SIMPLE-DATA FULL-comapre.py:87-92`). Scalar output.
+    """
+    n = y.shape[0] if y.ndim else 1
+    r = (jnp.ravel(y) - jnp.ravel(mean)).reshape(n, 1)
+    L = linalg.chol_factor(cov)
+    quad = 0.5 * jnp.sum(r * linalg.chol_solve_from_factor(L, r))
+    return 0.5 * n * jnp.log(2.0 * jnp.pi) + linalg.half_logdet(L) + quad
+
+
+def energy_score(key, mean, cov, y, num_sim: int = 300, beta: float = 1.0):
+    """Monte-Carlo energy score of one multivariate-Gaussian block
+    (reference `ES`, `kin40k-FULL-compare.py:70-101`):
+
+        ES = mean_i ||z_i - (mu - y)||^beta
+             - 0.5 * sum_{i,j} ||z_i - z'_j||^beta / (S (S - 1))
+
+    z, z' ~ N(0, C) via the symmetric matrix square root (eigh here; the reference
+    uses torch.svd at `:74-77` — identical for symmetric PSD C). The reference's
+    normalization S(S-1) over an S x S sum (including i==j terms, which are nonzero
+    since z and z' are independent draws) is kept verbatim.
+
+    ``key`` is an explicit PRNG key, replacing the reference's unseeded global
+    torch.randn draws. Scalar output, differentiable through the sampler
+    (reparameterization: z = eps @ sqrt(C)).
+    """
+    n = y.shape[0]
+    r = jnp.ravel(mean) - jnp.ravel(y)  # mu - y, [n]
+    root_cov = linalg.symmetric_sqrt(cov)
+    k1, k2 = jax.random.split(key)
+    z = matmul(jax.random.normal(k1, (num_sim, n), cov.dtype), root_cov)
+    zp = matmul(jax.random.normal(k2, (num_sim, n), cov.dtype), root_cov)
+
+    # ||z_i - z'_j|| for all pairs: O(S^2) memory on the S x S matrix only
+    # (the reference materializes an S x S x n tensor, `kin40k-FULL-compare.py:86-88`).
+    zz = jnp.sum(z * z, axis=1)
+    pp = jnp.sum(zp * zp, axis=1)
+    cross = matmul(z, zp.T)
+    sq = jnp.maximum(zz[:, None] + pp[None, :] - 2.0 * cross, 0.0)
+    dist_zzp = jnp.sqrt(sq) ** beta
+    z_minus_zp = jnp.sum(dist_zzp) / (num_sim * (num_sim - 1))
+
+    dz = z - r[None, :]
+    z_minus_y = jnp.mean(jnp.sqrt(jnp.sum(dz * dz, axis=1)) ** beta)
+    return z_minus_y - 0.5 * z_minus_zp
+
+
+def crps_kfold(mean_b, var_b, y_b):
+    """"kc" objective: CRPS per fold on the diagonal of the block conditional,
+    summed over folds (reference `KIN40K-COMPARE-ALL-FITC-20.py:709-714`).
+
+    mean_b/var_b/y_b: [k, nb] batched fold quantities.
+    """
+    per_fold = jax.vmap(crps_gaussian)(mean_b, var_b, y_b)
+    return jnp.sum(per_fold)
+
+
+def interval_score(mean, var, y, alpha: float = 0.05):
+    """Mean central (1-alpha) interval score (Gneiting & Raftery 2007, eq. 43):
+
+        S = (u - l) + (2/alpha) (l - y) 1{y < l} + (2/alpha) (y - u) 1{y > u}
+
+    with l, u the alpha/2 and 1-alpha/2 Gaussian quantiles. Negatively oriented,
+    differentiable a.e.; the BASELINE.json north star lists it as a first-class
+    objective alongside CRPS and the log score.
+    """
+    mean, var, y = jnp.ravel(mean), jnp.ravel(var), jnp.ravel(y)
+    sigma = jnp.sqrt(var)
+    # Phi^-1(1 - alpha/2) via erfinv.
+    q = _SQRT2 * jax.lax.erf_inv(1.0 - alpha)
+    lo = mean - q * sigma
+    hi = mean + q * sigma
+    width = hi - lo
+    below = (2.0 / alpha) * jnp.maximum(lo - y, 0.0)
+    above = (2.0 / alpha) * jnp.maximum(y - hi, 0.0)
+    return jnp.mean(width + below + above)
