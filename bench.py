@@ -1,0 +1,95 @@
+"""Headline benchmark: KIN40K FITC-20 fit, ALL five scoring rules, one replicate.
+
+This is the BASELINE.json north-star workload: "full KIN40K FITC scoring-rule fit
+(all rules, 20 inducing points) in <60 s" — n_train=500, d=8, m=20, reference
+iteration counts (CRPS 2000, NLML/logs/DSS/kc 3000 each = 14,000 GD iterations
+total, `KIN40K-COMPARE-ALL-FITC-20.py:207,315,417,523,655`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <fit wall-clock seconds>, "unit": "s",
+   "vs_baseline": <60 / value>}
+
+Compilation is excluded (AOT-compiled before timing); the measured quantity is the
+steady-state fit wall-clock the <60 s target describes.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.data import kin40k_replicate_split, load_kin40k
+from gpscore.fit import fit_gd, make_objective
+from gpscore.fit.schedules import SCHEDULES
+from gpscore.utils.params import GPParams
+
+BASELINE_S = 60.0
+RULES = ["crps", "nlml", "logs", "dss", "kc"]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    data = load_kin40k()
+    s = kin40k_replicate_split(data, 0)
+    x, y = s.train_x, s.train_y
+    d = x.shape[1]
+    key = jax.random.PRNGKey(0)
+    k_l, k_u = jax.random.split(key)
+    params0 = GPParams(
+        log_signal_sq=jnp.ones(()),
+        log_length=jax.random.uniform(k_l, (d,)),
+        log_noise_sq=jnp.ones(()),
+        inducing=jax.random.uniform(k_u, (20, d)),
+    )
+
+    compiled = {}
+    t_compile0 = time.time()
+    for rule in RULES:
+        sched = SCHEDULES[("kin40k_fitc", rule)]
+        loss = make_objective(rule, model="fitc")
+
+        def fit(params, x, y, k, _sched=sched, _loss=loss):
+            return fit_gd(
+                _loss, params, x, y,
+                iters=_sched.iters, lr=_sched.lr, lr_inducing=_sched.lr_inducing,
+                key=k,
+            )
+
+        fn = jax.jit(fit)
+        compiled[rule] = (
+            fn.lower(params0, x, y, key).compile(),
+            SCHEDULES[("kin40k_fitc", rule)].iters,
+        )
+    log(f"compile: {time.time() - t_compile0:.1f}s")
+
+    t0 = time.time()
+    results = {}
+    for rule in RULES:
+        fn, iters = compiled[rule]
+        res = fn(params0, x, y, key)
+        jax.block_until_ready(res)
+        results[rule] = (float(res.loss_history[-1]), iters)
+    elapsed = time.time() - t0
+    for rule, (final_loss, iters) in results.items():
+        log(f"  {rule}: {iters} iters, final loss {final_loss:.5f}")
+    log(f"fit wall-clock: {elapsed:.2f}s on {jax.devices()[0].platform}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "kin40k_fitc20_all_rules_fit_wall_clock",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Shared experiment machinery for the four reference-script reproductions.
+
+Each driver fits several scoring-rule objectives over replicates and reports the
+six-metric evaluation suite averaged over replicates — exactly the reference's
+protocol (`kin40k-FULL-compare.py:739-776`), except that replicates run as one
+vmapped XLA program instead of a serial Python loop, results are written to JSON,
+and every random draw has an explicit key.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpscore.fit import Schedule, fit_gd, make_objective
+from gpscore.metrics import evaluate_predictive
+from gpscore.models import exact_predictive
+from gpscore.models.fitc import fitc_predictive
+from gpscore.ops.kernels import gram
+from gpscore.utils.params import GPParams
+
+
+def fit_and_eval(
+    rule: str,
+    model: str,
+    schedule: Schedule,
+    params0: GPParams,
+    train_x,
+    train_y,
+    test_x,
+    test_y,
+    key,
+    kernel: str = "ard",
+    fold_k: int = 4,
+    num_sim: int = 300,
+):
+    """One (objective, replicate): fit by GD, then evaluate the test predictive.
+
+    Pure function of its inputs — jit/vmap-safe.
+    """
+    loss = make_objective(rule, model=model, kernel=kernel, fold_k=fold_k, num_sim=num_sim)
+    res = fit_gd(
+        loss,
+        params0,
+        train_x,
+        train_y,
+        iters=schedule.iters,
+        lr=schedule.lr,
+        lr_inducing=schedule.lr_inducing,
+        key=key,
+    )
+    p = res.params
+    if model == "exact":
+        k_ff = gram(train_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
+        k_sf = gram(test_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
+        k_ss = gram(test_x, test_x, p.log_signal_sq, p.log_length, kind=kernel)
+        pred = exact_predictive(k_sf, k_ff, k_ss, train_y, p.noise_sq)
+    else:
+        pred = fitc_predictive(train_x, train_y, test_x, p, kind=kernel)
+    var = jnp.diagonal(pred.cov)
+    metrics = evaluate_predictive(pred.mean, var, test_y, train_y)
+    return metrics, res
+
+
+def run_sweep(
+    rules,
+    model: str,
+    schedules: Dict[str, Schedule],
+    make_data: Callable[[int], tuple],
+    make_params: Callable[[jax.Array, int], GPParams],
+    replicates: int,
+    d: int,
+    kernel: str = "ard",
+    fold_k: int = 4,
+    num_sim: int = 300,
+    seed: int = 0,
+    verbose: bool = True,
+) -> Dict[str, Dict[str, float]]:
+    """Run all (rule x replicate) fits; return per-rule replicate-mean metrics.
+
+    ``make_data(replicate) -> (train_x, train_y, test_x, test_y)`` may use NumPy
+    (the KIN40K subsampling protocol is host-side); the splits are stacked and the
+    whole replicate axis is vmapped per rule.
+    """
+    data = [make_data(j) for j in range(replicates)]
+    stacked = tuple(
+        jnp.stack([jnp.asarray(d_[i]) for d_ in data]) for i in range(4)
+    )
+    results: Dict[str, Dict[str, float]] = {}
+    for rule in rules:
+        sched = schedules[rule]
+        t0 = time.time()
+
+        def one(j, tx, ty, sx, sy):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
+            params0 = make_params(key, d)
+            metrics, res = fit_and_eval(
+                rule, model, sched, params0, tx, ty, sx, sy,
+                key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,
+                num_sim=num_sim,
+            )
+            return metrics, res.ok
+
+        metrics, ok = jax.jit(jax.vmap(one))(
+            jnp.arange(replicates), *stacked
+        )
+        # Mask replicates whose fit never produced a finite loss (the reference
+        # records zeros for those, `kin40k-FULL-compare.py:726-732`; we exclude
+        # them from the mean instead and report the count).
+        okm = np.asarray(ok)
+        means = {
+            f: float(np.mean(np.asarray(getattr(metrics, f))[okm]))
+            for f in metrics._fields
+        }
+        means["num_failed"] = int((~okm).sum())
+        means["wall_s"] = time.time() - t0
+        results[rule] = means
+        if verbose:
+            print(f"[{rule}] {json.dumps(means, sort_keys=True)}", flush=True)
+    return results
+
+
+def save_results(results, path: Optional[str]):
+    if path:
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {path}")

@@ -1,0 +1,67 @@
+"""KIN40K FITC-20 all-rules comparison: CRPS / NLML / logs / DSS / kc.
+
+Reproduces `KIN40K-COMPARE-ALL-FITC-20.py`: 10 replicates, n_train=500, 20 learned
+inducing points (uniform init, `:215`; normal init for DSS, `:531`), schedules per
+SURVEY.md §2.5. This is the BASELINE.json north-star workload (<60 s all rules).
+
+Usage: python experiments/kin40k_fitc.py [--replicates 10] [--data kin40k.npz]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from experiments.common import run_sweep, save_results
+from gpscore.data import kin40k_replicate_split, load_kin40k
+from gpscore.fit.schedules import SCHEDULES
+from gpscore.utils.params import GPParams
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicates", type=int, default=10)
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "kc"])
+    ap.add_argument("--num-inducing", type=int, default=20)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--iters-scale", type=float, default=1.0,
+                    help="scale schedule iteration counts (quick runs)")
+    args = ap.parse_args(argv)
+
+    data = load_kin40k(args.data)
+    m = args.num_inducing
+
+    def make_data(j):
+        s = kin40k_replicate_split(data, j)
+        return s.train_x, s.train_y, s.test_x, s.test_y
+
+    def make_params(key, d):
+        k_l, k_u = jax.random.split(key)
+        return GPParams(
+            log_signal_sq=jnp.ones(()),
+            log_length=jax.random.uniform(k_l, (d,)),
+            log_noise_sq=jnp.ones(()),
+            inducing=jax.random.uniform(k_u, (m, d)),
+        )
+
+    schedules = {}
+    for r in args.rules:
+        s = SCHEDULES[("kin40k_fitc", r)]
+        if args.iters_scale != 1.0:
+            s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)), s.lr, s.lr_inducing)
+        schedules[r] = s
+
+    results = run_sweep(
+        args.rules, "fitc", schedules, make_data, make_params,
+        replicates=args.replicates, d=8,
+    )
+    save_results(results, args.out)
+    return results
+
+
+if __name__ == "__main__":
+    main()

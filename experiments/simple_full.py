@@ -1,0 +1,53 @@
+"""Synthetic 1-D full-GP comparison: CRPS-LOO vs NLML vs logs-LOO.
+
+Reproduces `SIMPLE-DATA FULL-comapre.py` (100 replicates of n=120 synthetic data,
+unit log-param inits, schedules from SURVEY.md §2.5) as one vmapped sweep.
+
+Usage: python experiments/simple_full.py [--replicates 100] [--out results.json]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from experiments.common import run_sweep, save_results
+from gpscore.data import sample_synthetic_1d
+from gpscore.fit.schedules import SCHEDULES
+from gpscore.utils.params import init_unit_params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicates", type=int, default=100)
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    def make_data(j):
+        # reference seeds torch with 100*j per replicate (`:159-160`)
+        d = sample_synthetic_1d(jax.random.PRNGKey(100 * j))
+        return (
+            np.asarray(d.train_x),
+            np.asarray(d.train_y),
+            np.asarray(d.test_x),
+            np.asarray(d.test_y),
+        )
+
+    def make_params(key, d):
+        return init_unit_params(d=d, isotropic=False)
+
+    schedules = {r: SCHEDULES[("simple_full", r)] for r in args.rules}
+    results = run_sweep(
+        args.rules, "exact", schedules, make_data, make_params,
+        replicates=args.replicates, d=1,
+    )
+    save_results(results, args.out)
+    return results
+
+
+if __name__ == "__main__":
+    main()

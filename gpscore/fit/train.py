@@ -27,6 +27,7 @@ class FitResult(NamedTuple):
     params: GPParams
     loss_history: jnp.ndarray  # [iters]
     ok: jnp.ndarray  # scalar bool: True if any iteration produced a finite loss
+    param_history: Optional[GPParams] = None  # [iters, ...]-leaved, if recorded
 
 
 def _apply_update(params: GPParams, grads: GPParams, lr, lr_inducing):
@@ -59,11 +60,18 @@ def fit_gd(
     lr_inducing: Optional[float] = None,
     key: Optional[jax.Array] = None,
     skip_nonfinite: bool = True,
+    record_params: bool = False,
 ) -> FitResult:
     """Full-batch gradient descent, compiled as one lax.scan.
 
     ``key`` feeds stochastic objectives (energy score); split per iteration, which
     mirrors the reference drawing fresh ``torch.randn`` every step.
+
+    ``record_params=True`` additionally returns the per-iteration parameter
+    trajectory as a ``[iters]``-leading pytree — the reference's
+    ``length_series``/``noise_series``/``k_series`` trace arrays
+    (`SIMPLE-DATA FULL-comapre.py:193-197`), carried through the scan instead of
+    appended host-side.
     """
     if lr_inducing is None:
         lr_inducing = lr
@@ -85,11 +93,16 @@ def fit_gd(
             )
         else:
             p = new_p
-        return p, loss
+        out = (p, loss) if record_params else loss
+        return p, out
 
-    final, losses = jax.lax.scan(step, params, jnp.arange(iters))
+    final, outs = jax.lax.scan(step, params, jnp.arange(iters))
+    if record_params:
+        history, losses = outs
+    else:
+        history, losses = None, outs
     ok = jnp.any(jnp.isfinite(losses))
-    return FitResult(final, losses, ok)
+    return FitResult(final, losses, ok, history)
 
 
 def fit_optax(

@@ -73,25 +73,48 @@ def dss(mean, cov, y):
     return 0.5 * n * jnp.log(2.0 * jnp.pi) + linalg.half_logdet(L) + quad
 
 
-def energy_score(key, mean, cov, y, num_sim: int = 300, beta: float = 1.0):
+def _safe_norm_pow(sq, beta):
+    """||.||^beta from squared norms with a finite gradient at 0.
+
+    d/dx sqrt(x) -> inf as x -> 0; Monte-Carlo draws can collide to fp32 zero, and
+    one such pair would NaN the whole fit. Epsilon floor is ~1e-6 on the *distance*,
+    far below any statistically meaningful scale here.
+    """
+    d = jnp.sqrt(jnp.maximum(sq, 1e-12))
+    return d if beta == 1.0 else d**beta
+
+
+def energy_score(
+    key, mean, cov, y, num_sim: int = 300, beta: float = 1.0,
+    sqrt_method: str = "chol",
+):
     """Monte-Carlo energy score of one multivariate-Gaussian block
     (reference `ES`, `kin40k-FULL-compare.py:70-101`):
 
         ES = mean_i ||z_i - (mu - y)||^beta
              - 0.5 * sum_{i,j} ||z_i - z'_j||^beta / (S (S - 1))
 
-    z, z' ~ N(0, C) via the symmetric matrix square root (eigh here; the reference
-    uses torch.svd at `:74-77` — identical for symmetric PSD C). The reference's
-    normalization S(S-1) over an S x S sum (including i==j terms, which are nonzero
-    since z and z' are independent draws) is kept verbatim.
+    z, z' ~ N(0, C). The reference draws via the SVD matrix square root
+    (`kin40k-FULL-compare.py:74-77`); sampling through the *Cholesky* factor is
+    distributionally identical, 3-6x cheaper, and — unlike eigh/svd, whose JVP has
+    1/(lambda_i - lambda_j) terms that NaN on (near-)degenerate spectra of the fold
+    conditional covariances — has a numerically stable derivative, which keeps the
+    training gradient finite. ``sqrt_method="eigh"`` reproduces the reference's
+    symmetric-sqrt sampler for parity studies. The reference's normalization
+    S(S-1) over an S x S sum (including i==j terms, which are nonzero since z and
+    z' are independent draws) is kept verbatim.
 
     ``key`` is an explicit PRNG key, replacing the reference's unseeded global
     torch.randn draws. Scalar output, differentiable through the sampler
-    (reparameterization: z = eps @ sqrt(C)).
+    (reparameterization: z = eps @ root(C)^T).
     """
     n = y.shape[0]
     r = jnp.ravel(mean) - jnp.ravel(y)  # mu - y, [n]
-    root_cov = linalg.symmetric_sqrt(cov)
+    if sqrt_method == "chol":
+        L, _ = linalg.safe_cholesky(cov)
+        root_cov = L.T  # z = eps @ L^T  =>  cov(z) = L L^T = C
+    else:
+        root_cov = linalg.symmetric_sqrt(cov)
     k1, k2 = jax.random.split(key)
     z = matmul(jax.random.normal(k1, (num_sim, n), cov.dtype), root_cov)
     zp = matmul(jax.random.normal(k2, (num_sim, n), cov.dtype), root_cov)
@@ -102,11 +125,10 @@ def energy_score(key, mean, cov, y, num_sim: int = 300, beta: float = 1.0):
     pp = jnp.sum(zp * zp, axis=1)
     cross = matmul(z, zp.T)
     sq = jnp.maximum(zz[:, None] + pp[None, :] - 2.0 * cross, 0.0)
-    dist_zzp = jnp.sqrt(sq) ** beta
-    z_minus_zp = jnp.sum(dist_zzp) / (num_sim * (num_sim - 1))
+    z_minus_zp = jnp.sum(_safe_norm_pow(sq, beta)) / (num_sim * (num_sim - 1))
 
     dz = z - r[None, :]
-    z_minus_y = jnp.mean(jnp.sqrt(jnp.sum(dz * dz, axis=1)) ** beta)
+    z_minus_y = jnp.mean(_safe_norm_pow(jnp.sum(dz * dz, axis=1), beta))
     return z_minus_y - 0.5 * z_minus_zp
 
 

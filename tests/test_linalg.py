@@ -1,0 +1,79 @@
+"""Dense linear-algebra layer vs SciPy fp64."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import cho_factor, cho_solve
+
+from gpscore.ops import linalg
+
+
+def _spd(rng, n=24):
+    A = rng.standard_normal((n, n))
+    return (A @ A.T + n * np.eye(n)).astype(np.float32)
+
+
+def test_chol_solve(rng):
+    A = _spd(rng)
+    B = rng.standard_normal((24, 3)).astype(np.float32)
+    got = linalg.chol_solve(jnp.asarray(B), jnp.asarray(A))
+    want = cho_solve(cho_factor(np.asarray(A, np.float64), lower=True), np.asarray(B, np.float64))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_inv_diag_from_chol(rng):
+    A = _spd(rng)
+    L = linalg.chol_factor(jnp.asarray(A))
+    got = linalg.inv_diag_from_chol(L)
+    want = np.diag(np.linalg.inv(np.asarray(A, np.float64)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+def test_spd_inverse(rng):
+    A = _spd(rng)
+    got = linalg.spd_inverse(jnp.asarray(A))
+    want = np.linalg.inv(np.asarray(A, np.float64))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_half_logdet(rng):
+    A = _spd(rng)
+    L = linalg.chol_factor(jnp.asarray(A))
+    got = linalg.half_logdet(L)
+    want = 0.5 * np.linalg.slogdet(np.asarray(A, np.float64))[1]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_safe_cholesky_clean_matrix_no_jitter(rng):
+    """First ladder rung is 0 jitter: healthy matrices factor exactly."""
+    A = _spd(rng)
+    L, ok = linalg.safe_cholesky(jnp.asarray(A))
+    assert bool(ok)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(A, np.float64)), atol=1e-4
+    )
+
+
+def test_safe_cholesky_rescues_indefinite(rng):
+    """A slightly indefinite matrix gets escalating jitter instead of NaN."""
+    n = 16
+    A = np.eye(n, dtype=np.float32)
+    A[0, 0] = -1e-4  # not SPD
+    L, ok = linalg.safe_cholesky(jnp.asarray(A))
+    assert bool(ok)
+    assert not np.any(np.isnan(np.asarray(L)))
+
+
+def test_safe_cholesky_reports_failure():
+    A = -jnp.eye(8)  # hopeless
+    _, ok = linalg.safe_cholesky(A)
+    assert not bool(ok)
+
+
+def test_symmetric_sqrt(rng):
+    A = _spd(rng, 12)
+    R = linalg.symmetric_sqrt(jnp.asarray(A))
+    np.testing.assert_allclose(
+        np.asarray(R @ R.T), np.asarray(A, np.float64), rtol=1e-3, atol=1e-3
+    )
+    # symmetry of the root itself (U s^1/2 U^T)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(R).T, atol=1e-4)

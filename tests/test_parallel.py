@@ -1,0 +1,73 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpscore.fit import make_objective
+from gpscore.ops.kernels import ard_gram
+from gpscore.parallel import (
+    make_mesh,
+    restart_sweep,
+    sharded_gram,
+    sharded_restart_sweep,
+)
+from gpscore.utils.params import GPParams
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_gram_matches_single_device(rng):
+    mesh = make_mesh(batch=1, data=8)
+    x = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    ll = jnp.asarray(np.zeros(3, np.float32))
+    got = sharded_gram(x, 0.2, ll, mesh)
+    want = ard_gram(x, x, 0.2, ll)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def _params_batch(R, d=1, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), R)
+    return GPParams(
+        log_signal_sq=jnp.ones((R,)),
+        log_length=jax.vmap(lambda k: jax.random.uniform(k, (d,)))(ks),
+        log_noise_sq=jnp.ones((R,)),
+        inducing=None,
+    )
+
+
+def test_sharded_restart_sweep_matches_vmap(rng):
+    mesh = make_mesh(batch=8, data=1)
+    x = jnp.asarray(rng.standard_normal((24, 1)).astype(np.float32))
+    y = jnp.sin(x[:, 0]) + 0.1 * jnp.asarray(rng.standard_normal(24).astype(np.float32))
+    loss = make_objective("crps", model="exact")
+    pb = _params_batch(8)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(8, dtype=jnp.uint32))
+
+    want = restart_sweep(loss, pb, x, y, iters=5, lr=0.3, keys=keys)
+    got = sharded_restart_sweep(loss, pb, x, y, iters=5, lr=0.3, mesh=mesh, keys=keys)
+    np.testing.assert_allclose(
+        np.asarray(got.loss_history), np.asarray(want.loss_history), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.params.log_noise_sq),
+        np.asarray(want.params.log_noise_sq),
+        atol=1e-5,
+    )
+
+
+def test_sweep_output_sharding(rng):
+    """Restart axis of the results must actually live sharded on the mesh."""
+    mesh = make_mesh(batch=8, data=1)
+    x = jnp.asarray(rng.standard_normal((16, 1)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    loss = make_objective("crps", model="exact")
+    pb = _params_batch(8)
+    got = sharded_restart_sweep(loss, pb, x, y, iters=2, lr=0.1, mesh=mesh)
+    shard_devices = {
+        s.device for s in got.params.log_noise_sq.addressable_shards
+    }
+    assert len(shard_devices) == 8

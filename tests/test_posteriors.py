@@ -1,0 +1,218 @@
+"""Posterior constructors vs fp64 oracle — including brute-force LOO refits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from gpscore.models import (
+    exact_predictive,
+    kfold_exact,
+    loo_exact,
+    nlml_exact,
+)
+from gpscore.models.fitc import (
+    fitc_dense_cov,
+    fitc_predictive,
+    kfold_fitc,
+    loo_fitc,
+    nlml_fitc,
+)
+from gpscore.ops.kernels import ard_gram
+from gpscore.utils.params import GPParams
+
+
+def _problem(rng, n=32, d=2, noise_sq=0.09):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = np.sin(x.sum(1)).astype(np.float32) + 0.1 * rng.standard_normal(n).astype(
+        np.float32
+    )
+    log_len = (0.2 * rng.standard_normal(d)).astype(np.float32)
+    return x, y, 0.15, log_len, noise_sq
+
+
+def test_exact_predictive_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    xs = rng.standard_normal((10, 2)).astype(np.float32)
+    k_ff = oracle.ard_gram(x, x, lsig, llen)
+    k_sf = oracle.ard_gram(xs, x, lsig, llen)
+    k_ss = oracle.ard_gram(xs, xs, lsig, llen)
+    want_m, want_c = oracle.exact_predictive(k_sf, k_ff, k_ss, y, noise_sq)
+
+    got = exact_predictive(
+        ard_gram(jnp.asarray(xs), jnp.asarray(x), lsig, jnp.asarray(llen)),
+        ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen)),
+        ard_gram(jnp.asarray(xs), jnp.asarray(xs), lsig, jnp.asarray(llen)),
+        jnp.asarray(y),
+        noise_sq,
+    )
+    np.testing.assert_allclose(np.asarray(got.mean), want_m, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.cov), want_c, atol=5e-6)
+
+
+def test_loo_identity_matches_brute_force_refits(rng):
+    """The K^-1-diagonal LOO identities == literally refitting on n-1 points."""
+    x, y, lsig, llen, noise_sq = _problem(rng, n=20)
+    k_ff64 = oracle.ard_gram(x, x, lsig, llen)
+    bf_mean, bf_var = oracle.loo_brute_force(k_ff64, y, noise_sq)
+
+    k_ff = ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen))
+    got = loo_exact(k_ff, jnp.asarray(y), noise_sq)
+    np.testing.assert_allclose(np.asarray(got.mean), bf_mean, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.cov), bf_var, atol=1e-4)
+
+
+def test_loo_exact_vs_oracle_identity(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng, n=48)
+    k_ff64 = oracle.ard_gram(x, x, lsig, llen)
+    want_m, want_v = oracle.loo_identity(k_ff64, y, noise_sq)
+    k_ff = ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen))
+    got = loo_exact(k_ff, jnp.asarray(y), noise_sq)
+    np.testing.assert_allclose(np.asarray(got.mean), want_m, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.cov), want_v, rtol=2e-5)
+
+
+def test_kfold_exact_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng, n=32)
+    k_ff64 = oracle.ard_gram(x, x, lsig, llen)
+    want_m, want_c = oracle.kfold_conditionals(k_ff64, y, noise_sq, fold_k=4)
+    k_ff = ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen))
+    got = kfold_exact(k_ff, jnp.asarray(y), noise_sq, fold_k=4)
+    np.testing.assert_allclose(np.asarray(got.mean), want_m, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.cov), want_c, atol=1e-4)
+
+
+def test_kfold_is_loo_at_foldsize_one(rng):
+    """fold_k == n must reduce the block conditionals to LOO."""
+    x, y, lsig, llen, noise_sq = _problem(rng, n=16)
+    k_ff = ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen))
+    loo = loo_exact(k_ff, jnp.asarray(y), noise_sq)
+    kf = kfold_exact(k_ff, jnp.asarray(y), noise_sq, fold_k=16, diag_only=True)
+    np.testing.assert_allclose(
+        np.asarray(kf.mean).ravel(), np.asarray(loo.mean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf.cov).ravel(), np.asarray(loo.cov), rtol=1e-5
+    )
+
+
+def test_nlml_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    k_ff64 = oracle.ard_gram(x, x, lsig, llen)
+    want = oracle.nlml(k_ff64, y, noise_sq)
+    k_ff = ard_gram(jnp.asarray(x), jnp.asarray(x), lsig, jnp.asarray(llen))
+    got = nlml_exact(k_ff, jnp.asarray(y), noise_sq)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+# ---- FITC ------------------------------------------------------------------
+
+
+def _fitc_params(rng, d=2, m=6):
+    return GPParams(
+        log_signal_sq=jnp.float32(0.15),
+        log_length=jnp.asarray((0.2 * rng.standard_normal(d)).astype(np.float32)),
+        log_noise_sq=jnp.float32(np.log(0.09)),
+        inducing=jnp.asarray(rng.standard_normal((m, d)).astype(np.float32)),
+    )
+
+
+def test_fitc_dense_cov_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    p = _fitc_params(rng)
+    p = p.replace(log_signal_sq=jnp.float32(lsig), log_length=jnp.asarray(llen),
+                  log_noise_sq=jnp.float32(np.log(noise_sq)))
+    want = oracle.fitc_cov_dense(x, np.asarray(p.inducing), lsig, llen, noise_sq)
+    got = fitc_dense_cov(jnp.asarray(x), p)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+def test_fitc_loo_woodbury_vs_dense_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    p = _fitc_params(rng).replace(
+        log_signal_sq=jnp.float32(lsig),
+        log_length=jnp.asarray(llen),
+        log_noise_sq=jnp.float32(np.log(noise_sq)),
+    )
+    B64 = oracle.fitc_cov_dense(x, np.asarray(p.inducing), lsig, llen, noise_sq)
+    # LOO identities applied to B in fp64:
+    Binv = np.linalg.inv(B64)
+    d = np.diag(Binv)
+    want_mean = y - (Binv @ y) / d
+    want_var = 1.0 / d
+
+    for method in ("woodbury", "dense"):
+        got = loo_fitc(jnp.asarray(x), jnp.asarray(y), p, method=method)
+        np.testing.assert_allclose(np.asarray(got.mean), want_mean, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got.cov), want_var, rtol=2e-4)
+
+
+def test_fitc_logs_variance_correction_is_noop(rng):
+    """The reference's FITC-logs variance 'correction'
+    (`KIN40K-COMPARE-ALL-FITC-20.py:441-446`) cancels algebraically; both paths
+    must agree to fp32 rounding."""
+    x, y, _, _, _ = _problem(rng)
+    p = _fitc_params(rng)
+    a = loo_fitc(jnp.asarray(x), jnp.asarray(y), p, variance_correction=False)
+    b = loo_fitc(jnp.asarray(x), jnp.asarray(y), p, variance_correction=True)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov), rtol=1e-4)
+
+
+def test_fitc_predictive_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    xs = rng.standard_normal((9, 2)).astype(np.float32)
+    p = _fitc_params(rng).replace(
+        log_signal_sq=jnp.float32(lsig),
+        log_length=jnp.asarray(llen),
+        log_noise_sq=jnp.float32(np.log(noise_sq)),
+    )
+    want_m, want_c = oracle.fitc_predictive(
+        x, np.asarray(p.inducing), xs, y, lsig, llen, noise_sq
+    )
+    got = fitc_predictive(jnp.asarray(x), jnp.asarray(y), jnp.asarray(xs), p)
+    np.testing.assert_allclose(np.asarray(got.mean), want_m, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.cov), want_c, atol=2e-5)
+
+
+def test_fitc_nlml_vs_oracle(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    p = _fitc_params(rng).replace(
+        log_signal_sq=jnp.float32(lsig),
+        log_length=jnp.asarray(llen),
+        log_noise_sq=jnp.float32(np.log(noise_sq)),
+    )
+    import math
+
+    B64 = oracle.fitc_cov_dense(x, np.asarray(p.inducing), lsig, llen, noise_sq)
+    L = np.linalg.cholesky(B64)
+    want = (
+        0.5 * 32 * math.log(2 * math.pi)
+        + np.sum(np.log(np.diag(L)))
+        + 0.5 * y @ np.linalg.solve(B64, y)
+    )
+    got = nlml_fitc(jnp.asarray(x), jnp.asarray(y), p)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+def test_kfold_fitc_vs_dense_blocks(rng):
+    x, y, lsig, llen, noise_sq = _problem(rng)
+    p = _fitc_params(rng).replace(
+        log_signal_sq=jnp.float32(lsig),
+        log_length=jnp.asarray(llen),
+        log_noise_sq=jnp.float32(np.log(noise_sq)),
+    )
+    B64 = oracle.fitc_cov_dense(x, np.asarray(p.inducing), lsig, llen, noise_sq)
+    # fold conditionals from dense B^-1 in fp64:
+    n, fold_k = 32, 4
+    nb = n // fold_k
+    Binv = np.linalg.inv(B64)
+    Binv_y = Binv @ y
+    want_m, want_c = [], []
+    for b in range(fold_k):
+        sl = slice(b * nb, (b + 1) * nb)
+        Ainv = np.linalg.inv(Binv[sl, sl])
+        want_m.append(y[sl] - Ainv @ Binv_y[sl])
+        want_c.append(Ainv)
+    got = kfold_fitc(jnp.asarray(x), jnp.asarray(y), p, fold_k=4)
+    np.testing.assert_allclose(np.asarray(got.mean), np.stack(want_m), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.cov), np.stack(want_c), rtol=2e-3, atol=5e-4)
