@@ -17,14 +17,15 @@ import jax.numpy as jnp
 
 from experiments.common import run_sweep, save_results
 from gpscore.data import kin40k_replicate_split, load_kin40k
-from gpscore.fit.schedules import SCHEDULES
+from gpscore.fit.schedules import SCHEDULES, rules_for
 from gpscore.utils.params import GPParams
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicates", type=int, default=10)
-    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "kc"])
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "kc"],
+                    choices=rules_for("kin40k_fitc"))
     ap.add_argument("--num-inducing", type=int, default=20)
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)

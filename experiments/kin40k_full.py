@@ -17,14 +17,15 @@ import jax.numpy as jnp
 
 from experiments.common import run_sweep, save_results
 from gpscore.data import kin40k_replicate_split, load_kin40k
-from gpscore.fit.schedules import SCHEDULES
+from gpscore.fit.schedules import SCHEDULES, rules_for
 from gpscore.utils.params import GPParams
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicates", type=int, default=30)
-    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "es"])
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "es"],
+                    choices=rules_for("kin40k_full"))
     ap.add_argument("--data", default=None, help="kin40k .npz/csv dir (else synthetic)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)

@@ -16,14 +16,15 @@ import numpy as np
 
 from experiments.common import run_sweep, save_results
 from gpscore.data import sample_synthetic_1d
-from gpscore.fit.schedules import SCHEDULES
+from gpscore.fit.schedules import SCHEDULES, rules_for
 from gpscore.utils.params import init_unit_params
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicates", type=int, default=100)
-    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"])
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"],
+                    choices=rules_for("simple_full"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 

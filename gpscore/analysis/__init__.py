@@ -7,6 +7,7 @@ from gpscore.analysis.sensitivity import (
     dss_correlation_curve,
     es_correlation_curve,
 )
+from gpscore.analysis.crps_illustration import CRPSCurves, crps_illustration
 
 __all__ = [
     "objective_surface",
@@ -17,4 +18,6 @@ __all__ = [
     "logs_var_error_curve",
     "dss_correlation_curve",
     "es_correlation_curve",
+    "CRPSCurves",
+    "crps_illustration",
 ]

@@ -50,6 +50,11 @@ SCHEDULES = {
 }
 
 
+def rules_for(experiment: str) -> list:
+    """Rules with a reference schedule for ``experiment`` (CLI ``choices=``)."""
+    return [r for (e, r) in SCHEDULES if e == experiment]
+
+
 def get_schedule(experiment: str, rule: str) -> Schedule:
     try:
         return SCHEDULES[(experiment, rule)]

@@ -1,4 +1,5 @@
 from gpscore.ops.kernels import rbf_gram, ard_gram, gram, kernel_diag
+from gpscore.ops.block_cholesky import blocked_cholesky
 from gpscore.ops.linalg import (
     chol_factor,
     chol_solve,
@@ -11,6 +12,7 @@ from gpscore.ops.linalg import (
 )
 
 __all__ = [
+    "blocked_cholesky",
     "rbf_gram",
     "ard_gram",
     "gram",

@@ -1,5 +1,6 @@
 """Dense linear-algebra layer vs SciPy fp64."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.linalg import cho_factor, cho_solve
@@ -77,3 +78,33 @@ def test_symmetric_sqrt(rng):
     )
     # symmetry of the root itself (U s^1/2 U^T)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R).T, atol=1e-4)
+
+
+def test_blocked_cholesky_matches_builtin(rng):
+    from gpscore.ops.block_cholesky import blocked_cholesky
+
+    for n in (64, 200, 500, 1025):
+        X = rng.standard_normal((n, n)).astype(np.float32)
+        A = jnp.asarray(X @ X.T / n + 2.0 * np.eye(n, dtype=np.float32))
+        got = blocked_cholesky(A, base=128)
+        want = jnp.linalg.cholesky(A)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-3
+        )
+
+
+def test_blocked_cholesky_differentiable(rng):
+    from gpscore.ops.block_cholesky import blocked_cholesky
+
+    X = rng.standard_normal((96, 96)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / 96 + 2.0 * np.eye(96, dtype=np.float32))
+
+    def f_blocked(s):
+        return jnp.sum(blocked_cholesky(s * A, base=32))
+
+    def f_builtin(s):
+        return jnp.sum(jnp.linalg.cholesky(s * A))
+
+    g1 = jax.grad(f_blocked)(1.0)
+    g2 = jax.grad(f_builtin)(1.0)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-4)
