@@ -19,11 +19,20 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpscore.data import kin40k_replicate_split, load_kin40k
 from gpscore.fit import fit_gd, make_objective
 from gpscore.fit.schedules import SCHEDULES
 from gpscore.utils.params import GPParams
+
+
+def sync(res):
+    """Host-readback barrier. block_until_ready is not a reliable completion
+    barrier through remote-tunnel TPU backends (it can return before execution
+    — and before deferred remote compilation — finishes); pulling a scalar to
+    host is."""
+    np.asarray(jax.device_get(res.loss_history[-1]))
 
 BASELINE_S = 60.0
 RULES = ["crps", "nlml", "logs", "dss", "kc"]
@@ -65,18 +74,31 @@ def main():
             fn.lower(params0, x, y, key).compile(),
             SCHEDULES[("kin40k_fitc", rule)].iters,
         )
-    log(f"compile: {time.time() - t_compile0:.1f}s")
+    log(f"lower+compile dispatch: {time.time() - t_compile0:.1f}s")
+
+    # Warmup pass: .compile() above may defer the actual (remote) compilation to
+    # first execution; run each program once with a readback barrier so the timed
+    # section below measures steady-state fit only. Warmup inputs are perturbed —
+    # remote-tunnel backends may cache results keyed on (program, inputs), and an
+    # identical warmup call would let the timed call return a cached result.
+    warm_params = jax.tree.map(lambda a: a + 0.0625, params0)
+    t_warm0 = time.time()
+    for rule in RULES:
+        fn, _ = compiled[rule]
+        sync(fn(warm_params, x, y, key))
+    log(f"warmup (incl. deferred compile): {time.time() - t_warm0:.1f}s")
 
     t0 = time.time()
     results = {}
     for rule in RULES:
+        t_rule = time.time()
         fn, iters = compiled[rule]
         res = fn(params0, x, y, key)
-        jax.block_until_ready(res)
-        results[rule] = (float(res.loss_history[-1]), iters)
+        sync(res)
+        results[rule] = (float(res.loss_history[-1]), iters, time.time() - t_rule)
     elapsed = time.time() - t0
-    for rule, (final_loss, iters) in results.items():
-        log(f"  {rule}: {iters} iters, final loss {final_loss:.5f}")
+    for rule, (final_loss, iters, dt) in results.items():
+        log(f"  {rule}: {iters} iters in {dt:.2f}s, final loss {final_loss:.5f}")
     log(f"fit wall-clock: {elapsed:.2f}s on {jax.devices()[0].platform}")
 
     print(

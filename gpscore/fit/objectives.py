@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from gpscore.models import exact as exact_mod
 from gpscore.models import fitc as fitc_mod
+from gpscore.ops import linalg
 from gpscore.ops.kernels import gram
 from gpscore.scoring import rules
 
@@ -62,13 +63,14 @@ def make_objective(
             x, y, params, kind=kernel, variance_correction=(rule == "logs")
         )
 
-    def _kfold(params, x, y, diag_only):
+    def _kfold_precision(params, x, y):
+        # Precision form: DSS/ES/kc only need log-dets, quadratic forms, samples,
+        # or the covariance diagonal, so the per-fold O(nb^3) inversion +
+        # re-factorization of the covariance path is skipped entirely.
         if model == "exact":
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
-            return exact_mod.kfold_exact(
-                k_ff, y, params.noise_sq, fold_k, diag_only=diag_only
-            )
-        return fitc_mod.kfold_fitc(x, y, params, fold_k, kind=kernel, diag_only=diag_only)
+            return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
+        return fitc_mod.kfold_fitc_precision(x, y, params, fold_k, kind=kernel)
 
     if rule == "crps":
 
@@ -99,30 +101,32 @@ def make_objective(
     elif rule == "dss":
 
         def loss(params, x, y, key=None):
-            p = _kfold(params, x, y, diag_only=False)
+            p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
-            per_fold = jax.vmap(rules.dss)(p.mean, p.cov, y_b)
+            per_fold = jax.vmap(rules.dss_precision)(p.mean, p.chol_prec, y_b)
             return jnp.sum(per_fold)
 
     elif rule == "es":
 
         def loss(params, x, y, key):
-            p = _kfold(params, x, y, diag_only=False)
+            p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
             keys = jax.random.split(key, p.mean.shape[0])
             per_fold = jax.vmap(
-                lambda k, m, c, yy: rules.energy_score(
-                    k, m, c, yy, num_sim=num_sim, beta=es_beta
+                lambda k, m, La, yy: rules.energy_score_precision(
+                    k, m, La, yy, num_sim=num_sim, beta=es_beta
                 )
-            )(keys, p.mean, p.cov, y_b)
+            )(keys, p.mean, p.chol_prec, y_b)
             return jnp.sum(per_fold)
 
     elif rule == "kc":
 
         def loss(params, x, y, key=None):
-            p = _kfold(params, x, y, diag_only=True)
+            p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
-            return rules.crps_kfold(p.mean, p.cov, y_b)
+            # var = diag(A^-1) straight from the factor, no inverse materialized
+            var_b = jax.vmap(linalg.inv_diag_from_chol)(p.chol_prec)
+            return rules.crps_kfold(p.mean, var_b, y_b)
 
     loss.__name__ = f"{rule}_{model}_objective"
     return loss

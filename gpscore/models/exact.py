@@ -30,6 +30,19 @@ class Gaussian(NamedTuple):
     cov: jnp.ndarray
 
 
+class PrecisionGaussian(NamedTuple):
+    """Gaussian in precision form: cov = (chol_prec @ chol_prec^T)^-1.
+
+    The natural output of the k-fold block conditionals, whose covariance is the
+    inverse of the available block A = [K_hat^-1]_bb — scoring rules that only
+    need log-dets, quadratic forms, samples, or the covariance diagonal
+    (DSS/ES/kc) consume this directly and skip the O(nb^3) inversion +
+    re-factorization of the covariance path. Leading axes batch over folds."""
+
+    mean: jnp.ndarray  # [..., nb]
+    chol_prec: jnp.ndarray  # [..., nb, nb] lower
+
+
 def exact_predictive(k_star_f, k_ff, k_ss, y, noise_sq, *, L=None) -> Gaussian:
     """Noise-inclusive exact GP predictive (reference ``cal_mean_and_cov``,
     `SIMPLE-DATA FULL-comapre.py:106-111`):
@@ -109,6 +122,35 @@ def kfold_exact(k_ff, y, noise_sq, fold_k: int, *, diag_only: bool = False):
     if diag_only:
         return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
     return Gaussian(mean, Ainv)
+
+
+def kfold_exact_precision(k_ff, y, noise_sq, fold_k: int) -> PrecisionGaussian:
+    """k-fold block conditionals in precision form (same math as
+    :func:`kfold_exact`; the per-fold inverse is never materialized):
+
+        A_b = [K_hat^-1]_bb = La_b La_b^T
+        m_b = y_b - A_b^-1 [K_hat^-1 y]_b   (one solve with La_b)
+        Cov_b = A_b^-1                       (kept implicit)
+    """
+    n = k_ff.shape[0]
+    if n % fold_k != 0:
+        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
+    nb = n // fold_k
+    y = y.reshape(n)
+    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
+    L = linalg.chol_factor(K_hat)
+    Kinv = linalg.spd_inverse(L=L)
+    Kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
+
+    blocks = Kinv.reshape(fold_k, nb, fold_k, nb)
+    A = jnp.stack([blocks[b, :, b, :] for b in range(fold_k)])
+    y_b = y.reshape(fold_k, nb)
+    Kinv_y_b = Kinv_y.reshape(fold_k, nb, 1)
+
+    La = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
+    solve = jax.vmap(linalg.chol_solve_from_factor)
+    mean = y_b - solve(La, Kinv_y_b)[..., 0]
+    return PrecisionGaussian(mean, La)
 
 
 def nlml_exact(k_ff, y, noise_sq):

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gpscore.models.exact import Gaussian
+from gpscore.models.exact import Gaussian, PrecisionGaussian
 from gpscore.ops import linalg
 from gpscore.ops.kernels import gram, kernel_diag
 from gpscore.utils.precision import MM_PRECISION, matmul
@@ -218,3 +218,31 @@ def kfold_fitc(
     if diag_only:
         return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
     return Gaussian(mean, Ainv)
+
+
+def kfold_fitc_precision(
+    x, y, params, fold_k: int, *, kind: str = "ard"
+) -> PrecisionGaussian:
+    """k-fold block conditionals of the FITC train covariance in precision form
+    (same math as :func:`kfold_fitc`; no per-fold inverse is materialized)."""
+    n = x.shape[0]
+    if n % fold_k != 0:
+        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
+    nb = n // fold_k
+    y = y.reshape(n)
+    t = fitc_terms(x, params, kind=kind)
+    b_y = _b_inv_apply(t, y.reshape(n, 1))[:, 0]
+
+    W_b = t.W.reshape(fold_k, nb, -1)
+    g_b = t.g.reshape(fold_k, nb)
+    y_b = y.reshape(fold_k, nb)
+    b_y_b = b_y.reshape(fold_k, nb, 1)
+
+    def per_fold(Wb, gb, yb, byb):
+        A = jnp.diag(1.0 / gb) - matmul(Wb, Wb.T)
+        La = linalg.chol_factor(A)
+        mean = yb - linalg.chol_solve_from_factor(La, byb)[:, 0]
+        return mean, La
+
+    mean, La = jax.vmap(per_fold)(W_b, g_b, y_b, b_y_b)
+    return PrecisionGaussian(mean, La)

@@ -118,15 +118,52 @@ def energy_score(
     k1, k2 = jax.random.split(key)
     z = matmul(jax.random.normal(k1, (num_sim, n), cov.dtype), root_cov)
     zp = matmul(jax.random.normal(k2, (num_sim, n), cov.dtype), root_cov)
-
     # ||z_i - z'_j|| for all pairs: O(S^2) memory on the S x S matrix only
     # (the reference materializes an S x S x n tensor, `kin40k-FULL-compare.py:86-88`).
+    return _energy_score_core(z, zp, r, num_sim, beta)
+
+
+def dss_precision(mean, chol_prec, y):
+    """DSS of a Gaussian given the lower Cholesky factor of its *precision*.
+
+    The k-fold conditional covariance is the inverse of an explicitly available
+    block ``A = [K_hat^-1]_bb`` (SURVEY.md §2.3); with A = La La^T,
+
+        log det C = -2 sum log diag(La),   (y-m)^T C^-1 (y-m) = ||La^T (y-m)||^2
+
+    so the score needs no inverse and no second factorization — the reference
+    (and the covariance-form path) invert A and then re-factor the inverse
+    (`kin40k-FULL-compare.py:519-538`), 3x the O(nb^3) work.
+    """
+    n = y.shape[0] if y.ndim else 1
+    r = jnp.ravel(y) - jnp.ravel(mean)
+    w = matmul(jnp.swapaxes(chol_prec, -1, -2), r.reshape(n, 1))
+    quad = 0.5 * jnp.sum(w * w)
+    return 0.5 * n * jnp.log(2.0 * jnp.pi) - linalg.half_logdet(chol_prec) + quad
+
+
+def energy_score_precision(
+    key, mean, chol_prec, y, num_sim: int = 300, beta: float = 1.0
+):
+    """Energy score sampling N(0, C) with C = (La La^T)^-1 given precision factor
+    La: z = La^-T eps has cov La^-T La^-1 = C. One triangular solve per draw
+    batch replaces forming C and factoring it again."""
+    n = y.shape[0]
+    r = jnp.ravel(mean) - jnp.ravel(y)
+    k1, k2 = jax.random.split(key)
+    eps = jax.random.normal(k1, (n, num_sim), chol_prec.dtype)
+    epsp = jax.random.normal(k2, (n, num_sim), chol_prec.dtype)
+    z = linalg.tri_solve(chol_prec, eps, trans=True).T  # [S, n]
+    zp = linalg.tri_solve(chol_prec, epsp, trans=True).T
+    return _energy_score_core(z, zp, r, num_sim, beta)
+
+
+def _energy_score_core(z, zp, r, num_sim: int, beta: float):
     zz = jnp.sum(z * z, axis=1)
     pp = jnp.sum(zp * zp, axis=1)
     cross = matmul(z, zp.T)
     sq = jnp.maximum(zz[:, None] + pp[None, :] - 2.0 * cross, 0.0)
     z_minus_zp = jnp.sum(_safe_norm_pow(sq, beta)) / (num_sim * (num_sim - 1))
-
     dz = z - r[None, :]
     z_minus_y = jnp.mean(_safe_norm_pow(jnp.sum(dz * dz, axis=1), beta))
     return z_minus_y - 0.5 * z_minus_zp

@@ -216,3 +216,56 @@ def test_kfold_fitc_vs_dense_blocks(rng):
     got = kfold_fitc(jnp.asarray(x), jnp.asarray(y), p, fold_k=4)
     np.testing.assert_allclose(np.asarray(got.mean), np.stack(want_m), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.cov), np.stack(want_c), rtol=2e-3, atol=5e-4)
+
+
+def test_kfold_precision_form_matches_cov_form_exact(rng):
+    """Precision-form k-fold == covariance-form k-fold (exact model)."""
+    from gpscore.models.exact import kfold_exact, kfold_exact_precision
+    from gpscore.ops.linalg import inv_diag_from_chol, spd_inverse
+
+    n, k = 24, 4
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+    K = np.asarray(
+        __import__("gpscore.ops.kernels", fromlist=["ard_gram"]).ard_gram(
+            jnp.asarray(x), jnp.asarray(x), 0.2, jnp.zeros(2)
+        )
+    )
+    cov_form = kfold_exact(jnp.asarray(K), jnp.asarray(y), 0.3, k)
+    prec_form = kfold_exact_precision(jnp.asarray(K), jnp.asarray(y), 0.3, k)
+    np.testing.assert_allclose(
+        np.asarray(prec_form.mean), np.asarray(cov_form.mean), atol=2e-5
+    )
+    # Cov_b == (La La^T)^-1 per fold
+    for b in range(k):
+        Ainv = np.asarray(spd_inverse(L=prec_form.chol_prec[b]))
+        np.testing.assert_allclose(Ainv, np.asarray(cov_form.cov[b]), atol=2e-4)
+    # diag path (kc variant)
+    var = np.asarray(jax.vmap(inv_diag_from_chol)(prec_form.chol_prec))
+    np.testing.assert_allclose(
+        var, np.asarray(jnp.diagonal(cov_form.cov, axis1=-2, axis2=-1)), atol=2e-4
+    )
+
+
+def test_kfold_precision_form_matches_cov_form_fitc(rng):
+    from gpscore.models.fitc import kfold_fitc, kfold_fitc_precision
+    from gpscore.ops.linalg import spd_inverse
+    from gpscore.utils.params import GPParams
+
+    n, k, m = 24, 4, 5
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.1),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(-0.5),
+        inducing=jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32)),
+    )
+    cov_form = kfold_fitc(jnp.asarray(x), jnp.asarray(y), p, k)
+    prec_form = kfold_fitc_precision(jnp.asarray(x), jnp.asarray(y), p, k)
+    np.testing.assert_allclose(
+        np.asarray(prec_form.mean), np.asarray(cov_form.mean), atol=2e-5
+    )
+    for b in range(k):
+        Ainv = np.asarray(spd_inverse(L=prec_form.chol_prec[b]))
+        np.testing.assert_allclose(Ainv, np.asarray(cov_form.cov[b]), atol=2e-4)

@@ -124,3 +124,57 @@ def test_scores_are_differentiable(rng):
     for fn in (crps_gaussian, logs_gaussian, interval_score):
         g = jax.grad(lambda mm: fn(mm, v, y))(m)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dss_precision_matches_cov_form(rng):
+    """dss_precision(m, La, y) == dss(m, (La La^T)^-1, y)."""
+    from gpscore.ops.linalg import spd_inverse
+    from gpscore.scoring.rules import dss_precision
+
+    n = 10
+    A = rng.standard_normal((n, n))
+    P = (A @ A.T + n * np.eye(n)).astype(np.float32)  # precision
+    La = jnp.linalg.cholesky(jnp.asarray(P))
+    C = spd_inverse(jnp.asarray(P))
+    m = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+    got = dss_precision(jnp.asarray(m), La, jnp.asarray(y))
+    want = dss(jnp.asarray(m), C, jnp.asarray(y))
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_energy_score_precision_statistically_matches_cov_form(rng):
+    """Same Gaussian sampled through precision vs covariance factors: MC
+    estimates agree within sampling error."""
+    from gpscore.ops.linalg import spd_inverse
+    from gpscore.scoring.rules import energy_score_precision
+
+    n = 4
+    A = rng.standard_normal((n, n))
+    P = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    La = jnp.linalg.cholesky(jnp.asarray(P))
+    C = spd_inverse(jnp.asarray(P))
+    m = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    got = float(
+        energy_score_precision(jax.random.PRNGKey(3), m, La, y, num_sim=4000)
+    )
+    want = float(energy_score(jax.random.PRNGKey(4), m, C, y, num_sim=4000))
+    np.testing.assert_allclose(got, want, rtol=5e-2)
+
+
+def test_energy_score_precision_gradient_finite(rng):
+    from gpscore.scoring.rules import energy_score_precision
+
+    n = 6
+    A = rng.standard_normal((n, n))
+    P = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    m = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def f(scale):
+        La = jnp.linalg.cholesky(scale * jnp.asarray(P))
+        return energy_score_precision(jax.random.PRNGKey(0), m, La, y, num_sim=64)
+
+    g = jax.grad(f)(1.0)
+    assert np.isfinite(float(g))
