@@ -69,15 +69,15 @@ def loo_exact(k_ff, y, noise_sq) -> Gaussian:
         mu_i     = y_i - [K_hat^-1 y]_i / [K_hat^-1]_ii
         sigma_i^2 = 1 / [K_hat^-1]_ii
 
-    One Cholesky; diag(K_hat^-1) from the factor without materializing the inverse.
+    One Cholesky; K_hat^-1 y and diag(K_hat^-1) come from
+    :func:`~gpscore.ops.linalg.loo_solve_diag`, whose custom VJP keeps the
+    backward memory-bounded (plain autodiff of the solve chain OOMs at n ~ 10k).
     Returns a diagonal Gaussian over the n training points.
     """
     n = k_ff.shape[0]
     y = y.reshape(n)
     K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
-    L = linalg.chol_factor(K_hat)
-    kinv_diag = linalg.inv_diag_from_chol(L)
-    kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
+    kinv_y, kinv_diag = linalg.loo_solve_diag(K_hat, y)
     mean = y - kinv_y / kinv_diag
     var = 1.0 / kinv_diag
     return Gaussian(mean, var)

@@ -45,6 +45,36 @@ def _split_point(n: int, base: int) -> int:
     return ((half + base - 1) // base) * base
 
 
+def tri_inverse_lower(L, base: int = _BASE):
+    """Inverse of a lower-triangular matrix via trace-time recursion:
+
+        inv([[L11, 0], [L21, L22]]) = [[inv(L11), 0],
+                                       [-inv(L22) L21 inv(L11), inv(L22)]]
+
+    All off-diagonal work is MXU matmuls with a bounded live set. XLA's
+    TriangularSolveExpander keeps its whole O(n/block) panel chain of ~n^2 temps
+    alive for an [n, n]-RHS solve (measured: the n=10k LOO forward alone exceeds
+    HBM); this recursion replaces that solve in the large-n LOO path.
+    """
+    n = L.shape[-1]
+    if n <= base:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    k = _split_point(n, base)
+    if k >= n:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    L11 = L[..., :k, :k]
+    L21 = L[..., k:, :k]
+    L22 = L[..., k:, k:]
+    L11i = tri_inverse_lower(L11, base)
+    L22i = tri_inverse_lower(L22, base)
+    cross = -matmul(L22i, matmul(L21, L11i))
+    top = jnp.concatenate(
+        [L11i, jnp.zeros_like(L21).swapaxes(-1, -2)], axis=-1
+    )
+    bot = jnp.concatenate([cross, L22i], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def blocked_cholesky(A, base: int = _BASE):
     """Lower Cholesky factor of SPD ``A`` via trace-time recursion.
 

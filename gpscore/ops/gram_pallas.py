@@ -107,11 +107,15 @@ def _scale_inputs(x, xp, log_signal_sq, log_length):
 def _fwd(x, xp, log_signal_sq, log_length):
     xs, xps, sig = _scale_inputs(x, xp, log_signal_sq, log_length)
     K = _pallas_gram_scaled(xs, xps, sig, interpret=_use_interpret())
-    return K, (xs, xps, K, log_length)
+    # Save only the O(nd) scaled inputs; K is recomputed in the backward (one
+    # fused kernel launch) instead of held live across the whole program — at
+    # n = 10k that is 400 MB of HBM freed during the O(n^3) middle section.
+    return K, (xs, xps, sig, log_length)
 
 
 def _bwd(res, g):
-    xs, xps, K, log_length = res
+    xs, xps, sig, log_length = res
+    K = _pallas_gram_scaled(xs, xps, sig, interpret=_use_interpret())
     W = g * K  # [n, m]
     # d/d log_signal_sq: K scales linearly with exp(log_signal_sq).
     d_log_sig = jnp.sum(W)

@@ -96,6 +96,59 @@ def safe_cholesky(A, ladder=_JITTER_LADDER):
     return L, ok
 
 
+@jax.custom_vjp
+def loo_solve_diag(K, y):
+    """(a, d) = (K^-1 y, diag(K^-1)) for SPD K — the two ingredients of the LOO
+    identities — with a closed-form, memory-bounded backward.
+
+    Plain autodiff of the triangular-solve chain materializes O(n/block) panel
+    residuals of ~n^2 each (measured: a single n=10k CRPS-LOO value_and_grad
+    exceeds 16 GB HBM); the hand adjoints below need only K^-1 itself:
+
+        a = K^-1 y:        K_bar += -(K^-1 a_bar) a^T,   y_bar = K^-1 a_bar
+        d = diag(K^-1):    K_bar += -(K^-1 diag(d_bar) K^-1)
+                                  = -(Kinv * d_bar[None, :]) @ Kinv
+
+    i.e. one extra solve + two MXU matmuls, peak ~4 n^2 floats.
+    """
+    a, d, _ = _loo_solve_diag_fwd_impl(K, y)
+    return a, d
+
+
+def _loo_solve_diag_fwd_impl(K, y):
+    n = K.shape[-1]
+    L = chol_factor(K)
+    # Blocked triangular inverse + one SYRK matmul. XLA's triangular-solve
+    # expander holds O(n/block) panel temps of ~n^2 each for an [n, n] RHS,
+    # which alone blows HBM at n ~ 10k; the recursion is matmul-only with a
+    # bounded live set.
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+
+    Linv = tri_inverse_lower(L)
+    Kinv = matmul(Linv.T, Linv)
+    a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+    d = jnp.diagonal(Kinv)
+    return a, d, Kinv
+
+
+def _loo_solve_diag_fwd(K, y):
+    a, d, Kinv = _loo_solve_diag_fwd_impl(K, y)
+    return (a, d), (Kinv, a)
+
+
+def _loo_solve_diag_bwd(res, cot):
+    Kinv, a = res
+    a_bar, d_bar = cot
+    n = a.shape[0]
+    w = matmul(Kinv, a_bar.reshape(n, 1))  # K^-1 a_bar  [n, 1]
+    y_bar = w[:, 0]
+    K_bar = -matmul(w, a.reshape(1, n)) - matmul(Kinv * d_bar[None, :], Kinv)
+    return K_bar, y_bar
+
+
+loo_solve_diag.defvjp(_loo_solve_diag_fwd, _loo_solve_diag_bwd)
+
+
 def symmetric_sqrt(C):
     """Symmetric PSD square root U diag(s)^0.5 U^T.
 

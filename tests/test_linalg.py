@@ -108,3 +108,48 @@ def test_blocked_cholesky_differentiable(rng):
     g1 = jax.grad(f_blocked)(1.0)
     g2 = jax.grad(f_builtin)(1.0)
     np.testing.assert_allclose(float(g1), float(g2), rtol=1e-4)
+
+
+def test_loo_solve_diag_custom_vjp_matches_autodiff(rng):
+    """Closed-form adjoints of (K^-1 y, diag(K^-1)) vs plain autodiff."""
+    n = 20
+    A = _spd(rng, n)
+    y = rng.standard_normal(n).astype(np.float32)
+
+    def via_custom(K, y):
+        a, d = linalg.loo_solve_diag(K, y)
+        return jnp.sum(jnp.sin(a) * d + a / d)
+
+    def via_plain(K, y):
+        L = linalg.chol_factor(K)
+        a = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
+        d = linalg.inv_diag_from_chol(L)
+        return jnp.sum(jnp.sin(a) * d + a / d)
+
+    K = jnp.asarray(A)
+    yj = jnp.asarray(y)
+    v1, (gK1, gy1) = jax.value_and_grad(via_custom, argnums=(0, 1))(K, yj)
+    v2, (gK2, gy2) = jax.value_and_grad(via_plain, argnums=(0, 1))(K, yj)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-4, rtol=1e-3)
+    # K enters only as a symmetric matrix (gram + noise*I), so gradients are
+    # defined up to their symmetric part: the Cholesky VJP weights triangles
+    # differently from the full-matrix closed form. Compare symmetrized.
+    def sym(g):
+        g = np.asarray(g)
+        return 0.5 * (g + g.T)
+
+    np.testing.assert_allclose(sym(gK1), sym(gK2), atol=1e-4, rtol=1e-3)
+
+
+def test_tri_inverse_lower_matches_solve(rng):
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+
+    for n in (48, 300, 1025):
+        A = _spd(rng, n)
+        L = np.linalg.cholesky(np.asarray(A, np.float64)).astype(np.float32)
+        got = tri_inverse_lower(jnp.asarray(L), base=128)
+        want = np.linalg.inv(np.asarray(L, np.float64))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+        # strictly lower-triangular output
+        assert np.allclose(np.triu(np.asarray(got), 1), 0.0)
