@@ -1,5 +1,6 @@
 from gpscore.parallel.mesh import make_mesh, batch_sharding, replicated
 from gpscore.parallel.sharded_gram import sharded_gram
+from gpscore.parallel.sharded_loo import sharded_loo_value_and_grad
 from gpscore.parallel.sweeps import restart_sweep, sharded_restart_sweep
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "sharded_gram",
+    "sharded_loo_value_and_grad",
     "restart_sweep",
     "sharded_restart_sweep",
 ]

@@ -1,0 +1,58 @@
+"""Mesh-sharded dense LOO objective for beyond-single-chip n.
+
+The single-chip dense path tops out where one HBM holds a handful of n x n fp32
+buffers (n ~ 30k on v5e). To go past it — or to speed the O(n^2)/O(n^3) GEMM
+phases of an n ~ 10k fit — the design matrix is row-sharded over the mesh 'data'
+axis and the objective is jitted with GSPMD sharding constraints:
+
+- Gram construction: each device computes its row block against the all-gathered
+  (tiny, n*d) design matrix — communication O(n d) over ICI.
+- The SYRK / triangular-inverse GEMMs of the LOO solve core partition naturally;
+  the Cholesky factorization itself stays replicated (XLA gathers for it) — the
+  known remaining bottleneck, to be replaced by a distributed blocked
+  factorization built on gpscore.ops.block_cholesky's GEMM-form recursion.
+
+The reference has no analogue (single CPU process, n capped at 500 —
+`kin40k-FULL-compare.py:196`).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpscore.fit.objectives import make_objective
+
+
+def sharded_loo_value_and_grad(
+    params,
+    x,
+    y,
+    mesh: Mesh,
+    rule: str = "crps",
+    model: str = "exact",
+    kernel: str = "ard",
+    axis: str = "data",
+):
+    """One (loss, grad) evaluation of a LOO scoring-rule objective with the
+    training rows sharded over ``mesh[axis]``.
+
+    Returns (loss, grads) with grads replicated (hyperparameters are tiny).
+    """
+    loss = make_objective(rule, model=model, kernel=kernel)
+    row = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def objective(p, x, y):
+        x = jax.lax.with_sharding_constraint(x, row)
+        return loss(p, x, y, None)
+
+    vg = jax.jit(
+        jax.value_and_grad(objective),
+        in_shardings=(repl, row, row),
+        out_shardings=(repl, repl),
+    )
+    x = jax.device_put(x, row)
+    y = jax.device_put(y, row)
+    params = jax.device_put(params, repl)
+    return vg(params, x, y)

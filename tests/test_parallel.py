@@ -71,3 +71,23 @@ def test_sweep_output_sharding(rng):
         s.device for s in got.params.log_noise_sq.addressable_shards
     }
     assert len(shard_devices) == 8
+
+
+def test_sharded_loo_value_and_grad_matches_single_device(rng):
+    from gpscore.parallel import sharded_loo_value_and_grad
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 64
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.2),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(-1.0),
+    )
+    v, g = sharded_loo_value_and_grad(p, x, y, mesh, rule="crps")
+    loss = make_objective("crps", model="exact")
+    want_v, want_g = jax.value_and_grad(loss)(p, x, y, None)
+    np.testing.assert_allclose(float(v), float(want_v), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
