@@ -80,12 +80,18 @@ def run_sweep(
     num_sim: int = 300,
     seed: int = 0,
     verbose: bool = True,
+    save_params_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Run all (rule x replicate) fits; return per-rule replicate-mean metrics.
 
     ``make_data(replicate) -> (train_x, train_y, test_x, test_y)`` may use NumPy
     (the KIN40K subsampling protocol is host-side); the splits are stacked and the
     whole replicate axis is vmapped per rule.
+
+    ``save_params_dir``: if set, the fitted hyperparameter pytree of every
+    (rule, replicate) is checkpointed to ``<dir>/<rule>_params.npz`` (batched
+    over the replicate axis) — the persistence the reference lacks entirely
+    (SURVEY.md §5).
     """
     data = [make_data(j) for j in range(replicates)]
     stacked = tuple(
@@ -104,11 +110,20 @@ def run_sweep(
                 key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,
                 num_sim=num_sim,
             )
-            return metrics, res.ok
+            return metrics, res.ok, res.params
 
-        metrics, ok = jax.jit(jax.vmap(one))(
+        metrics, ok, fitted = jax.jit(jax.vmap(one))(
             jnp.arange(replicates), *stacked
         )
+        if save_params_dir:
+            import os
+
+            from gpscore.utils.checkpoint import save_pytree
+
+            os.makedirs(save_params_dir, exist_ok=True)
+            save_pytree(
+                os.path.join(save_params_dir, f"{rule}_params.npz"), fitted
+            )
         # Mask replicates whose fit never produced a finite loss (the reference
         # records zeros for those, `kin40k-FULL-compare.py:726-732`; we exclude
         # them from the mean instead and report the count).

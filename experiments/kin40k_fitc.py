@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--num-inducing", type=int, default=20)
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for fitted-parameter checkpoints")
     ap.add_argument("--iters-scale", type=float, default=1.0,
                     help="scale schedule iteration counts (quick runs)")
     args = ap.parse_args(argv)
@@ -59,6 +61,7 @@ def main(argv=None):
     results = run_sweep(
         args.rules, "fitc", schedules, make_data, make_params,
         replicates=args.replicates, d=8,
+        save_params_dir=args.save_params,
     )
     save_results(results, args.out)
     return results

@@ -28,6 +28,8 @@ def main(argv=None):
                     choices=rules_for("kin40k_full"))
     ap.add_argument("--data", default=None, help="kin40k .npz/csv dir (else synthetic)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for fitted-parameter checkpoints")
     args = ap.parse_args(argv)
 
     data = load_kin40k(args.data)
@@ -52,6 +54,7 @@ def main(argv=None):
     results = run_sweep(
         args.rules, "exact", schedules, make_data, make_params,
         replicates=args.replicates, d=8,
+        save_params_dir=args.save_params,
     )
     save_results(results, args.out)
     return results

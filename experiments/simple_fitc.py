@@ -30,6 +30,8 @@ def main(argv=None):
                     choices=rules_for("simple_fitc"))
     ap.add_argument("--num-inducing", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for fitted-parameter checkpoints")
     args = ap.parse_args(argv)
 
     def make_data(j):
@@ -52,6 +54,7 @@ def main(argv=None):
     results = run_sweep(
         args.rules, "fitc", schedules, make_data, make_params,
         replicates=args.replicates, d=1,
+        save_params_dir=args.save_params,
     )
     save_results(results, args.out)
     return results

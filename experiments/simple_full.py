@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"],
                     choices=rules_for("simple_full"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for fitted-parameter checkpoints")
     args = ap.parse_args(argv)
 
     def make_data(j):
@@ -45,6 +47,7 @@ def main(argv=None):
     results = run_sweep(
         args.rules, "exact", schedules, make_data, make_params,
         replicates=args.replicates, d=1,
+        save_params_dir=args.save_params,
     )
     save_results(results, args.out)
     return results
