@@ -1,5 +1,6 @@
 from gpscore.parallel.mesh import make_mesh, batch_sharding, replicated
 from gpscore.parallel.sharded_gram import sharded_gram
+from gpscore.parallel.sharded_cholesky import sharded_cholesky, sharded_half_logdet
 from gpscore.parallel.sharded_loo import sharded_loo_value_and_grad
 from gpscore.parallel.sweeps import restart_sweep, sharded_restart_sweep
 
@@ -8,6 +9,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "sharded_gram",
+    "sharded_cholesky",
+    "sharded_half_logdet",
     "sharded_loo_value_and_grad",
     "restart_sweep",
     "sharded_restart_sweep",

@@ -3,6 +3,8 @@ from gpscore.scoring.rules import (
     logs_gaussian,
     dss,
     energy_score,
+    energy_score_precision,
+    dss_precision,
     interval_score,
     crps_kfold,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "logs_gaussian",
     "dss",
     "energy_score",
+    "energy_score_precision",
+    "dss_precision",
     "interval_score",
     "crps_kfold",
 ]

@@ -91,3 +91,44 @@ def test_sharded_loo_value_and_grad_matches_single_device(rng):
     np.testing.assert_allclose(float(v), float(want_v), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(want_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_cholesky_matches_builtin(rng):
+    from gpscore.parallel.sharded_cholesky import (
+        sharded_cholesky,
+        sharded_half_logdet,
+    )
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 512
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    L = sharded_cholesky(A, mesh, block=32)
+    want = jnp.linalg.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(want), atol=5e-3, rtol=2e-3)
+    hl = sharded_half_logdet(L, mesh)
+    want_hl = float(jnp.sum(jnp.log(jnp.diagonal(want))))
+    np.testing.assert_allclose(float(hl), want_hl, rtol=1e-5)
+
+
+def test_sharded_cholesky_block_equals_rows_per_device(rng):
+    """Panel width == rows per device (owner changes every step)."""
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    L = sharded_cholesky(A, mesh, block=32)  # rows_per = 32 = block
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(jnp.linalg.cholesky(A)), atol=5e-3, rtol=2e-3
+    )
+
+
+def test_sharded_cholesky_rejects_bad_shapes(rng):
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+
+    mesh = make_mesh(batch=1, data=8)
+    A = jnp.eye(100)
+    with pytest.raises(ValueError):
+        sharded_cholesky(A, mesh, block=32)
