@@ -72,6 +72,30 @@ def load_kin40k(path: Optional[str] = None) -> Kin40k:
     synthetic stand-in. Env var ``GPSCORE_KIN40K`` overrides."""
     path = path or os.environ.get("GPSCORE_KIN40K")
     if path and os.path.exists(path):
+        if path.endswith(".xlsx"):
+            # The reference's format (`kin40k-FULL-compare.py:197-200`): sheets
+            # trainx/trainy/testx/testy. Needs an xlsx engine (openpyxl);
+            # gated so the hermetic paths never depend on it.
+            def sheet(name):
+                try:
+                    import pandas as pd
+
+                    return np.asarray(
+                        pd.read_excel(path, sheet_name=name, header=None),
+                        np.float32,
+                    )
+                except ImportError as e:
+                    raise ImportError(
+                        "reading kin40k.xlsx requires pandas + an xlsx engine "
+                        "(openpyxl); convert to .npz/.csv instead"
+                    ) from e
+
+            return Kin40k(
+                sheet("trainx"),
+                sheet("trainy").reshape(-1),
+                sheet("testx"),
+                sheet("testy").reshape(-1),
+            )
         if path.endswith(".npz"):
             z = np.load(path)
             return Kin40k(

@@ -19,6 +19,7 @@ The reference has no analogue (single CPU process, n capped at 500 —
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpscore.fit.objectives import make_objective
@@ -56,3 +57,55 @@ def sharded_loo_value_and_grad(
     y = jax.device_put(y, row)
     params = jax.device_put(params, repl)
     return vg(params, x, y)
+
+
+def sharded_loo_moments(
+    k_ff,
+    y,
+    noise_sq,
+    mesh: Mesh,
+    axis: str = "data",
+    block: int = 256,
+):
+    """Fully distributed LOO moments (mean, var) for the exact GP at large n.
+
+    The whole chain stays row-sharded over ``mesh[axis]``:
+      1. K_hat = k_ff + noise_sq I             (local diagonal add),
+      2. L = sharded_cholesky(K_hat)           (shard_map panel factorization),
+      3. Linv = tri_inverse_lower(L)           (GEMM recursion; GSPMD partitions
+                                                the matmuls, only the tiny base
+                                                solves replicate),
+      4. Kinv = Linv^T Linv, a = Kinv y, d = diag(Kinv), LOO identities.
+
+    Forward-only (inference/evaluation at n beyond one chip); the gradient path
+    at this scale composes the custom-VJP solve core with these pieces (next
+    round). Returns (mean, var) replicated.
+    """
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+
+    n = k_ff.shape[0]
+    row = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def add_noise(K):
+        return K + noise_sq * jnp.eye(n, dtype=K.dtype)
+
+    K_hat = add_noise(jax.device_put(k_ff, row))
+    L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
+
+    def moments(L, y):
+        L = jax.lax.with_sharding_constraint(L, row)
+        Linv = tri_inverse_lower(L)
+        Kinv = jax.lax.with_sharding_constraint(
+            jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST), row
+        )
+        a = jnp.matmul(Kinv, y.reshape(n, 1))[:, 0]
+        d = jnp.diagonal(Kinv)
+        mean = y - a / d
+        var = 1.0 / d
+        return mean, var
+
+    fn = jax.jit(moments, in_shardings=(row, repl), out_shardings=(repl, repl))
+    return fn(L, jax.device_put(y, repl))

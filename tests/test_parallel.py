@@ -132,3 +132,18 @@ def test_sharded_cholesky_rejects_bad_shapes(rng):
     A = jnp.eye(100)
     with pytest.raises(ValueError):
         sharded_cholesky(A, mesh, block=32)
+
+
+def test_sharded_loo_moments_matches_single_device(rng):
+    from gpscore.models.exact import loo_exact
+    from gpscore.parallel.sharded_loo import sharded_loo_moments
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    K = np.asarray(ard_gram(jnp.asarray(x), jnp.asarray(x), 0.3, jnp.zeros(2)))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    mean, var = sharded_loo_moments(jnp.asarray(K), y, 0.25, mesh, block=32)
+    want = loo_exact(jnp.asarray(K), y, 0.25)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(want.mean), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(want.cov), rtol=2e-3)
