@@ -178,3 +178,17 @@ def test_energy_score_precision_gradient_finite(rng):
 
     g = jax.grad(f)(1.0)
     assert np.isfinite(float(g))
+
+
+def test_energy_score_eigh_mode_matches_chol_statistically(rng):
+    """sqrt_method='eigh' (the reference's symmetric-sqrt sampler) agrees with
+    the default Cholesky sampler within MC error."""
+    n = 4
+    A = rng.standard_normal((n, n))
+    C = jnp.asarray((A @ A.T / n + np.eye(n)).astype(np.float32))
+    m = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    a = float(energy_score(jax.random.PRNGKey(0), m, C, y, num_sim=4000))
+    b = float(energy_score(jax.random.PRNGKey(1), m, C, y, num_sim=4000,
+                           sqrt_method="eigh"))
+    np.testing.assert_allclose(a, b, rtol=5e-2)
