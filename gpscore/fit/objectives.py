@@ -66,11 +66,13 @@ def make_objective(
     def _kfold_precision(params, x, y):
         # Precision form: DSS/ES/kc only need log-dets, quadratic forms, samples,
         # or the covariance diagonal, so the per-fold O(nb^3) inversion +
-        # re-factorization of the covariance path is skipped entirely.
+        # re-factorization of the covariance path is skipped entirely. For FITC
+        # the fold precision is diagonal-minus-low-rank, dropping fold costs to
+        # O(nb m + m^3) (kfold_fitc_lowrank).
         if model == "exact":
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
-        return fitc_mod.kfold_fitc_precision(x, y, params, fold_k, kind=kernel)
+        return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)
 
     if rule == "crps":
 
@@ -103,7 +105,16 @@ def make_objective(
         def loss(params, x, y, key=None):
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
-            per_fold = jax.vmap(rules.dss_precision)(p.mean, p.chol_prec, y_b)
+            nb = y_b.shape[1]
+            if model == "exact":
+                per_fold = jax.vmap(rules.dss_precision)(p.mean, p.chol_prec, y_b)
+                return jnp.sum(per_fold)
+            r = y_b - p.mean
+            per_fold = (
+                0.5 * nb * jnp.log(2.0 * jnp.pi)
+                + 0.5 * fitc_mod.lowrank_fold_logdet_cov(p)
+                + 0.5 * fitc_mod.lowrank_fold_quad(p, r)
+            )
             return jnp.sum(per_fold)
 
     elif rule == "es":
@@ -111,12 +122,23 @@ def make_objective(
         def loss(params, x, y, key):
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
-            keys = jax.random.split(key, p.mean.shape[0])
+            if model == "exact":
+                keys = jax.random.split(key, p.mean.shape[0])
+                per_fold = jax.vmap(
+                    lambda k, m, La, yy: rules.energy_score_precision(
+                        k, m, La, yy, num_sim=num_sim, beta=es_beta
+                    )
+                )(keys, p.mean, p.chol_prec, y_b)
+                return jnp.sum(per_fold)
+            k_z, k_zp = jax.random.split(key)
+            z = fitc_mod.lowrank_fold_sample(k_z, p, num_sim)
+            zp = fitc_mod.lowrank_fold_sample(k_zp, p, num_sim)
+            r = p.mean - y_b
             per_fold = jax.vmap(
-                lambda k, m, La, yy: rules.energy_score_precision(
-                    k, m, La, yy, num_sim=num_sim, beta=es_beta
+                lambda zz, zzp, rr: rules._energy_score_core(
+                    zz, zzp, rr, num_sim, es_beta
                 )
-            )(keys, p.mean, p.chol_prec, y_b)
+            )(z, zp, r)
             return jnp.sum(per_fold)
 
     elif rule == "kc":
@@ -124,8 +146,11 @@ def make_objective(
         def loss(params, x, y, key=None):
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
-            # var = diag(A^-1) straight from the factor, no inverse materialized
-            var_b = jax.vmap(linalg.inv_diag_from_chol)(p.chol_prec)
+            if model == "exact":
+                # var = diag(A^-1) straight from the factor, no inverse materialized
+                var_b = jax.vmap(linalg.inv_diag_from_chol)(p.chol_prec)
+            else:
+                var_b = fitc_mod.lowrank_fold_cov_diag(p)
             return rules.crps_kfold(p.mean, var_b, y_b)
 
     loss.__name__ = f"{rule}_{model}_objective"

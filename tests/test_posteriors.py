@@ -269,3 +269,104 @@ def test_kfold_precision_form_matches_cov_form_fitc(rng):
     for b in range(k):
         Ainv = np.asarray(spd_inverse(L=prec_form.chol_prec[b]))
         np.testing.assert_allclose(Ainv, np.asarray(cov_form.cov[b]), atol=2e-4)
+
+
+def _fitc_setup(rng, n=24, k=4, m=5):
+    from gpscore.utils.params import GPParams
+
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.1),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(-0.5),
+        inducing=jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32)),
+    )
+    return jnp.asarray(x), jnp.asarray(y), p
+
+
+def test_kfold_fitc_lowrank_matches_dense_forms(rng):
+    """Low-rank fold machinery (det-lemma log-det, Woodbury mean/quad/diag)
+    == the dense covariance-form fold quantities."""
+    from gpscore.models.fitc import (
+        kfold_fitc,
+        kfold_fitc_lowrank,
+        lowrank_fold_cov_diag,
+        lowrank_fold_logdet_cov,
+        lowrank_fold_quad,
+    )
+
+    k = 4
+    x, y, p = _fitc_setup(rng, n=24, k=k)
+    dense = kfold_fitc(x, y, p, k)  # mean [k,nb], cov [k,nb,nb] = A^-1
+    low = kfold_fitc_lowrank(x, y, p, k)
+    np.testing.assert_allclose(
+        np.asarray(low.mean), np.asarray(dense.mean), atol=3e-5
+    )
+    # log det Cov
+    want_logdet = np.array(
+        [np.linalg.slogdet(np.asarray(dense.cov[b], np.float64))[1] for b in range(k)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(lowrank_fold_logdet_cov(low)), want_logdet, rtol=1e-4, atol=1e-4
+    )
+    # quadratic form r^T A r = r^T Cov^-1 r
+    r = jnp.asarray(rng.standard_normal(dense.mean.shape).astype(np.float32))
+    want_quad = np.array(
+        [
+            np.asarray(r[b], np.float64)
+            @ np.linalg.solve(np.asarray(dense.cov[b], np.float64), np.asarray(r[b], np.float64))
+            for b in range(k)
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(lowrank_fold_quad(low, r)), want_quad, rtol=2e-3
+    )
+    # covariance diagonal
+    np.testing.assert_allclose(
+        np.asarray(lowrank_fold_cov_diag(low)),
+        np.asarray(jnp.diagonal(dense.cov, axis1=-2, axis2=-1)),
+        rtol=2e-3,
+    )
+
+
+def test_lowrank_fold_sampler_covariance(rng):
+    """Empirical covariance of the O(nb(m+S)) sampler -> A^-1."""
+    from gpscore.models.fitc import kfold_fitc, kfold_fitc_lowrank, lowrank_fold_sample
+
+    k = 2
+    x, y, p = _fitc_setup(rng, n=12, k=k)
+    dense = kfold_fitc(x, y, p, k)
+    low = kfold_fitc_lowrank(x, y, p, k)
+    z = lowrank_fold_sample(jax.random.PRNGKey(0), low, num_sim=40000)  # [k,S,nb]
+    for b in range(k):
+        emp = np.cov(np.asarray(z[b]).T)
+        np.testing.assert_allclose(
+            emp, np.asarray(dense.cov[b]), atol=0.06, rtol=0.15
+        )
+
+
+def test_fitc_objectives_lowrank_match_dense_path(rng):
+    """dss/kc objective values via the low-rank fold path == the same objectives
+    computed from the dense covariance forms."""
+    from gpscore.fit import make_objective
+    from gpscore.models.fitc import kfold_fitc
+    from gpscore.scoring.rules import crps_gaussian, dss
+
+    k = 4
+    x, y, p = _fitc_setup(rng, n=24, k=k)
+    y_b = y.reshape(k, -1)
+    dense = kfold_fitc(x, y, p, k)
+
+    got_dss = float(make_objective("dss", model="fitc", fold_k=k)(p, x, y, None))
+    want_dss = float(
+        jnp.sum(jax.vmap(dss)(dense.mean, dense.cov, y_b))
+    )
+    np.testing.assert_allclose(got_dss, want_dss, rtol=2e-4)
+
+    got_kc = float(make_objective("kc", model="fitc", fold_k=k)(p, x, y, None))
+    var_b = jnp.diagonal(dense.cov, axis1=-2, axis2=-1)
+    want_kc = float(
+        jnp.sum(jax.vmap(crps_gaussian)(dense.mean, var_b, y_b))
+    )
+    np.testing.assert_allclose(got_kc, want_kc, rtol=2e-4)
