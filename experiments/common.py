@@ -128,10 +128,15 @@ def run_sweep(
         # records zeros for those, `kin40k-FULL-compare.py:726-732`; we exclude
         # them from the mean instead and report the count).
         okm = np.asarray(ok)
-        means = {
-            f: float(np.mean(np.asarray(getattr(metrics, f))[okm]))
-            for f in metrics._fields
-        }
+        if okm.any():
+            means = {
+                f: float(np.mean(np.asarray(getattr(metrics, f))[okm]))
+                for f in metrics._fields
+            }
+        else:
+            # Every replicate diverged (e.g. a too-hot schedule): record nulls
+            # rather than NaN means (json.dump would emit non-compliant NaN).
+            means = {f: None for f in metrics._fields}
         means["num_failed"] = int((~okm).sum())
         means["wall_s"] = time.time() - t0
         results[rule] = means

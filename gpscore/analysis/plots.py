@@ -91,16 +91,19 @@ def contour_plot(ax, lengthscales, noise_sds, surface, truth=None, title=None):
 
 def crps_area_plot(ax, curves, title="CRPS as area"):
     """The paper's CRPS illustration (`crps-plot.R:3-36`): forecast CDF vs
-    observation Heaviside with the squared-difference area shaded."""
+    observation Heaviside, with the integrand (F - H)^2 — whose area IS the
+    CRPS — shaded."""
     t = np.asarray(curves.t)
     ax.plot(t, np.asarray(curves.forecast_cdf), label="forecast CDF F")
     ax.plot(t, np.asarray(curves.obs_cdf), "k--", label="observation H(t - y)")
     ax.fill_between(
         t,
-        np.asarray(curves.forecast_cdf),
-        np.asarray(curves.obs_cdf),
-        alpha=0.25,
-        label=f"area$^2$ = CRPS = {float(curves.crps_numeric):.3f}",
+        np.asarray(curves.integrand),
+        0.0,
+        alpha=0.3,
+        label=(
+            r"$(F-H)^2$: area = CRPS = " f"{float(curves.crps_numeric):.3f}"
+        ),
     )
     ax.set_title(title)
     ax.legend(fontsize=7)

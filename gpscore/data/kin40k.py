@@ -76,25 +76,24 @@ def load_kin40k(path: Optional[str] = None) -> Kin40k:
             # The reference's format (`kin40k-FULL-compare.py:197-200`): sheets
             # trainx/trainy/testx/testy. Needs an xlsx engine (openpyxl);
             # gated so the hermetic paths never depend on it.
-            def sheet(name):
-                try:
-                    import pandas as pd
+            names = ["trainx", "trainy", "testx", "testy"]
+            try:
+                import pandas as pd
 
-                    return np.asarray(
-                        pd.read_excel(path, sheet_name=name, header=None),
-                        np.float32,
-                    )
-                except ImportError as e:
-                    raise ImportError(
-                        "reading kin40k.xlsx requires pandas + an xlsx engine "
-                        "(openpyxl); convert to .npz/.csv instead"
-                    ) from e
-
+                # Single read: pd.read_excel re-parses the whole workbook per
+                # call, so fetch all four sheets at once.
+                sheets = pd.read_excel(path, sheet_name=names, header=None)
+            except ImportError as e:
+                raise ImportError(
+                    "reading kin40k.xlsx requires pandas + an xlsx engine "
+                    "(openpyxl); convert to .npz/.csv instead"
+                ) from e
+            arr = {k: np.asarray(v, np.float32) for k, v in sheets.items()}
             return Kin40k(
-                sheet("trainx"),
-                sheet("trainy").reshape(-1),
-                sheet("testx"),
-                sheet("testy").reshape(-1),
+                arr["trainx"],
+                arr["trainy"].reshape(-1),
+                arr["testx"],
+                arr["testy"].reshape(-1),
             )
         if path.endswith(".npz"):
             z = np.load(path)

@@ -135,7 +135,7 @@ def make_objective(
             zp = fitc_mod.lowrank_fold_sample(k_zp, p, num_sim)
             r = p.mean - y_b
             per_fold = jax.vmap(
-                lambda zz, zzp, rr: rules._energy_score_core(
+                lambda zz, zzp, rr: rules.energy_score_core(
                     zz, zzp, rr, num_sim, es_beta
                 )
             )(z, zp, r)

@@ -71,7 +71,10 @@ def fit_gd(
     trajectory as a ``[iters]``-leading pytree — the reference's
     ``length_series``/``noise_series``/``k_series`` trace arrays
     (`SIMPLE-DATA FULL-comapre.py:193-197`), carried through the scan instead of
-    appended host-side.
+    appended host-side. ``param_history[i]`` is the *evaluation point* of
+    ``loss_history[i]`` (pre-update, like the reference's traces), so
+    ``param_history[0]`` is the initial parameters; the post-update final
+    parameters are ``result.params``.
     """
     if lr_inducing is None:
         lr_inducing = lr
@@ -93,7 +96,8 @@ def fit_gd(
             )
         else:
             p = new_p
-        out = (p, loss) if record_params else loss
+        # Record the evaluation point (pre-update), aligned with `loss`.
+        out = (carry, loss) if record_params else loss
         return p, out
 
     final, outs = jax.lax.scan(step, params, jnp.arange(iters))

@@ -83,19 +83,13 @@ def loo_exact(k_ff, y, noise_sq) -> Gaussian:
     return Gaussian(mean, var)
 
 
-def kfold_exact(k_ff, y, noise_sq, fold_k: int, *, diag_only: bool = False):
-    """k-fold block conditionals (reference `kin40k-FULL-compare.py:500-530`).
+def _kfold_blocks(k_ff, y, noise_sq, fold_k: int):
+    """Shared k-fold preamble: diagonal blocks A_b = [K_hat^-1]_bb (batched
+    [k, nb, nb] via reshape, no python loop), fold targets y_b, and
+    [K_hat^-1 y]_b (reference `kin40k-FULL-compare.py:500-530`).
 
-    Partition K_hat^-1 into fold_k diagonal blocks A_b = [K_hat^-1]_bb; then
-
-        m_b   = y_b - A_b^-1 [K_hat^-1 y]_b
-        Cov_b = A_b^-1            (diag(A_b^-1) if ``diag_only``, the "kc" variant,
-                                   `KIN40K-COMPARE-ALL-FITC-20.py:703-706`)
-
-    Requires n % fold_k == 0 (the reference silently assumes this: every fold uses
-    ``index1 = n // fold_k`` sized identity solves, `kin40k-FULL-compare.py:521-530`).
-    Returns a batched Gaussian with leading fold axis: mean [k, nb],
-    cov [k, nb, nb] or [k, nb].
+    Requires n % fold_k == 0 (the reference silently assumes this: every fold
+    uses ``index1 = n // fold_k`` sized identity solves, `:521-530`).
     """
     n = k_ff.shape[0]
     if n % fold_k != 0:
@@ -106,19 +100,29 @@ def kfold_exact(k_ff, y, noise_sq, fold_k: int, *, diag_only: bool = False):
     L = linalg.chol_factor(K_hat)
     Kinv = linalg.spd_inverse(L=L)
     Kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
-
-    # [k, nb, nb] diagonal blocks of K_hat^-1, batched via reshape (no python loop).
     blocks = Kinv.reshape(fold_k, nb, fold_k, nb)
     A = jnp.stack([blocks[b, :, b, :] for b in range(fold_k)])  # static small k
-    y_b = y.reshape(fold_k, nb)
-    Kinv_y_b = Kinv_y.reshape(fold_k, nb, 1)
+    return A, y.reshape(fold_k, nb), Kinv_y.reshape(fold_k, nb, 1)
 
+
+def kfold_exact(k_ff, y, noise_sq, fold_k: int, *, diag_only: bool = False):
+    """k-fold block conditionals (reference `kin40k-FULL-compare.py:500-530`).
+
+        m_b   = y_b - A_b^-1 [K_hat^-1 y]_b
+        Cov_b = A_b^-1            (diag(A_b^-1) if ``diag_only``, the "kc" variant,
+                                   `KIN40K-COMPARE-ALL-FITC-20.py:703-706`)
+
+    Returns a batched Gaussian with leading fold axis: mean [k, nb],
+    cov [k, nb, nb] or [k, nb].
+    """
+    A, y_b, Kinv_y_b = _kfold_blocks(k_ff, y, noise_sq, fold_k)
+    fold_k_, nb = y_b.shape
     Lb = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
     eye = jnp.eye(nb, dtype=A.dtype)
     Ainv = jax.vmap(lambda Lb_: linalg.chol_solve_from_factor(Lb_, eye))(Lb)
     mean = y_b - jnp.einsum(
         "kij,kjo->kio", Ainv, Kinv_y_b, precision=MM_PRECISION
-    ).reshape(fold_k, nb)
+    ).reshape(fold_k_, nb)
     if diag_only:
         return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
     return Gaussian(mean, Ainv)
@@ -132,21 +136,7 @@ def kfold_exact_precision(k_ff, y, noise_sq, fold_k: int) -> PrecisionGaussian:
         m_b = y_b - A_b^-1 [K_hat^-1 y]_b   (one solve with La_b)
         Cov_b = A_b^-1                       (kept implicit)
     """
-    n = k_ff.shape[0]
-    if n % fold_k != 0:
-        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
-    nb = n // fold_k
-    y = y.reshape(n)
-    K_hat = k_ff + noise_sq * jnp.eye(n, dtype=k_ff.dtype)
-    L = linalg.chol_factor(K_hat)
-    Kinv = linalg.spd_inverse(L=L)
-    Kinv_y = linalg.chol_solve_from_factor(L, y.reshape(n, 1))[:, 0]
-
-    blocks = Kinv.reshape(fold_k, nb, fold_k, nb)
-    A = jnp.stack([blocks[b, :, b, :] for b in range(fold_k)])
-    y_b = y.reshape(fold_k, nb)
-    Kinv_y_b = Kinv_y.reshape(fold_k, nb, 1)
-
+    A, y_b, Kinv_y_b = _kfold_blocks(k_ff, y, noise_sq, fold_k)
     La = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
     solve = jax.vmap(linalg.chol_solve_from_factor)
     mean = y_b - solve(La, Kinv_y_b)[..., 0]

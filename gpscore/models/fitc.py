@@ -194,6 +194,24 @@ def kfold_fitc(
     Diagonal blocks of B^-1 come from the Woodbury form in O(n m^2 / k per fold):
         [B^-1]_bb = diag(1/g)_bb - W_b W_b^T.
     """
+    W_b, g_b, y_b, b_y_b = _fitc_fold_terms(x, y, params, fold_k, kind)
+
+    def per_fold(Wb, gb, yb, byb):
+        A = jnp.diag(1.0 / gb) - matmul(Wb, Wb.T)  # [nb, nb] block of B^-1
+        La = linalg.chol_factor(A)
+        Ainv = linalg.spd_inverse(L=La)
+        mean = yb - linalg.chol_solve_from_factor(La, byb.reshape(-1, 1))[:, 0]
+        return mean, Ainv
+
+    mean, Ainv = jax.vmap(per_fold)(W_b, g_b, y_b, b_y_b)
+    if diag_only:
+        return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
+    return Gaussian(mean, Ainv)
+
+
+def _fitc_fold_terms(x, y, params, fold_k: int, kind: str):
+    """Shared FITC k-fold preamble: Woodbury terms reshaped to fold batches
+    (W_b [k, nb, m], g_b [k, nb], y_b [k, nb], [B^-1 y]_b [k, nb])."""
     n = x.shape[0]
     if n % fold_k != 0:
         raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
@@ -201,23 +219,12 @@ def kfold_fitc(
     y = y.reshape(n)
     t = fitc_terms(x, params, kind=kind)
     b_y = _b_inv_apply(t, y.reshape(n, 1))[:, 0]
-
-    W_b = t.W.reshape(fold_k, nb, -1)
-    g_b = t.g.reshape(fold_k, nb)
-    y_b = y.reshape(fold_k, nb)
-    b_y_b = b_y.reshape(fold_k, nb, 1)
-
-    def per_fold(Wb, gb, yb, byb):
-        A = jnp.diag(1.0 / gb) - matmul(Wb, Wb.T)  # [nb, nb] block of B^-1
-        La = linalg.chol_factor(A)
-        Ainv = linalg.spd_inverse(L=La)
-        mean = yb - linalg.chol_solve_from_factor(La, byb)[:, 0]
-        return mean, Ainv
-
-    mean, Ainv = jax.vmap(per_fold)(W_b, g_b, y_b, b_y_b)
-    if diag_only:
-        return Gaussian(mean, jnp.diagonal(Ainv, axis1=-2, axis2=-1))
-    return Gaussian(mean, Ainv)
+    return (
+        t.W.reshape(fold_k, nb, -1),
+        t.g.reshape(fold_k, nb),
+        y.reshape(fold_k, nb),
+        b_y.reshape(fold_k, nb),
+    )
 
 
 class LowRankPrecisionGaussian(NamedTuple):
@@ -249,18 +256,7 @@ def kfold_fitc_lowrank(
     Mean solve per fold via Woodbury on A_b = D - W W^T with D = diag(1/g_b):
         A_b^-1 v = G v + (G W) M_f^-1 (G W)^T v,   M_f = I - W^T G W,  G = diag(g_b).
     """
-    n = x.shape[0]
-    if n % fold_k != 0:
-        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
-    nb = n // fold_k
-    y = y.reshape(n)
-    t = fitc_terms(x, params, kind=kind)
-    b_y = _b_inv_apply(t, y.reshape(n, 1))[:, 0]
-
-    W_b = t.W.reshape(fold_k, nb, -1)
-    g_b = t.g.reshape(fold_k, nb)
-    y_b = y.reshape(fold_k, nb)
-    b_y_b = b_y.reshape(fold_k, nb)
+    W_b, g_b, y_b, b_y_b = _fitc_fold_terms(x, y, params, fold_k, kind)
 
     def per_fold(W, g, yb, v):
         m = W.shape[1]
@@ -327,23 +323,12 @@ def kfold_fitc_precision(
 ) -> PrecisionGaussian:
     """k-fold block conditionals of the FITC train covariance in precision form
     (same math as :func:`kfold_fitc`; no per-fold inverse is materialized)."""
-    n = x.shape[0]
-    if n % fold_k != 0:
-        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
-    nb = n // fold_k
-    y = y.reshape(n)
-    t = fitc_terms(x, params, kind=kind)
-    b_y = _b_inv_apply(t, y.reshape(n, 1))[:, 0]
-
-    W_b = t.W.reshape(fold_k, nb, -1)
-    g_b = t.g.reshape(fold_k, nb)
-    y_b = y.reshape(fold_k, nb)
-    b_y_b = b_y.reshape(fold_k, nb, 1)
+    W_b, g_b, y_b, b_y_b = _fitc_fold_terms(x, y, params, fold_k, kind)
 
     def per_fold(Wb, gb, yb, byb):
         A = jnp.diag(1.0 / gb) - matmul(Wb, Wb.T)
         La = linalg.chol_factor(A)
-        mean = yb - linalg.chol_solve_from_factor(La, byb)[:, 0]
+        mean = yb - linalg.chol_solve_from_factor(La, byb.reshape(-1, 1))[:, 0]
         return mean, La
 
     mean, La = jax.vmap(per_fold)(W_b, g_b, y_b, b_y_b)

@@ -39,7 +39,7 @@ _BASE = 512
 
 
 def _split_point(n: int, base: int) -> int:
-    """Largest multiple of ``base`` that is >= n/2 — keeps leaves near ``base``
+    """Smallest multiple of ``base`` that is >= n/2 — keeps leaves near ``base``
     and the GEMM update as square as possible."""
     half = (n + 1) // 2
     return ((half + base - 1) // base) * base

@@ -34,29 +34,36 @@ def sharded_loo_value_and_grad(
     model: str = "exact",
     kernel: str = "ard",
     axis: str = "data",
+    key=None,
 ):
-    """One (loss, grad) evaluation of a LOO scoring-rule objective with the
+    """One (loss, grad) evaluation of a scoring-rule objective with the
     training rows sharded over ``mesh[axis]``.
 
-    Returns (loss, grads) with grads replicated (hyperparameters are tiny).
+    ``key`` is required by stochastic rules (energy score) and ignored by the
+    deterministic ones. Returns (loss, grads) with grads replicated
+    (hyperparameters are tiny).
     """
     loss = make_objective(rule, model=model, kernel=kernel)
+    if rule == "es" and key is None:
+        raise ValueError("rule='es' is stochastic: pass a PRNG key")
+    if key is None:
+        key = jax.random.PRNGKey(0)
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def objective(p, x, y):
+    def objective(p, x, y, k):
         x = jax.lax.with_sharding_constraint(x, row)
-        return loss(p, x, y, None)
+        return loss(p, x, y, k)
 
     vg = jax.jit(
         jax.value_and_grad(objective),
-        in_shardings=(repl, row, row),
+        in_shardings=(repl, row, row, repl),
         out_shardings=(repl, repl),
     )
     x = jax.device_put(x, row)
     y = jax.device_put(y, row)
     params = jax.device_put(params, repl)
-    return vg(params, x, y)
+    return vg(params, x, y, jax.device_put(key, repl))
 
 
 def sharded_loo_moments(

@@ -3,6 +3,7 @@ from gpscore.scoring.rules import (
     logs_gaussian,
     dss,
     energy_score,
+    energy_score_core,
     energy_score_precision,
     dss_precision,
     interval_score,
@@ -14,6 +15,7 @@ __all__ = [
     "logs_gaussian",
     "dss",
     "energy_score",
+    "energy_score_core",
     "energy_score_precision",
     "dss_precision",
     "interval_score",

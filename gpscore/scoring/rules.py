@@ -108,6 +108,8 @@ def energy_score(
     torch.randn draws. Scalar output, differentiable through the sampler
     (reparameterization: z = eps @ root(C)^T).
     """
+    if sqrt_method not in ("chol", "eigh"):
+        raise ValueError(f"sqrt_method must be 'chol' or 'eigh', got {sqrt_method!r}")
     n = y.shape[0]
     r = jnp.ravel(mean) - jnp.ravel(y)  # mu - y, [n]
     if sqrt_method == "chol":
@@ -120,7 +122,7 @@ def energy_score(
     zp = matmul(jax.random.normal(k2, (num_sim, n), cov.dtype), root_cov)
     # ||z_i - z'_j|| for all pairs: O(S^2) memory on the S x S matrix only
     # (the reference materializes an S x S x n tensor, `kin40k-FULL-compare.py:86-88`).
-    return _energy_score_core(z, zp, r, num_sim, beta)
+    return energy_score_core(z, zp, r, num_sim, beta)
 
 
 def dss_precision(mean, chol_prec, y):
@@ -155,10 +157,13 @@ def energy_score_precision(
     epsp = jax.random.normal(k2, (n, num_sim), chol_prec.dtype)
     z = linalg.tri_solve(chol_prec, eps, trans=True).T  # [S, n]
     zp = linalg.tri_solve(chol_prec, epsp, trans=True).T
-    return _energy_score_core(z, zp, r, num_sim, beta)
+    return energy_score_core(z, zp, r, num_sim, beta)
 
 
-def _energy_score_core(z, zp, r, num_sim: int, beta: float):
+def energy_score_core(z, zp, r, num_sim: int, beta: float):
+    """ES estimate from pre-drawn samples z, z' [S, n] and r = mu - y [n].
+    Public: the FITC low-rank objective feeds its O(nb (m+S)) sampler output
+    through this (gpscore/fit/objectives.py)."""
     zz = jnp.sum(z * z, axis=1)
     pp = jnp.sum(zp * zp, axis=1)
     cross = matmul(z, zp.T)

@@ -55,12 +55,18 @@ def test_metrics_roundtrip(tmp_path):
 def test_fit_records_param_history(tmp_path):
     d = sample_synthetic_1d(jax.random.PRNGKey(0), num_train=32, num_test=8, num_va=4)
     loss = make_objective("crps", model="exact")
-    res = fit_gd(loss, init_unit_params(d=1, isotropic=False), d.train_x, d.train_y,
+    p0 = init_unit_params(d=1, isotropic=False)
+    res = fit_gd(loss, p0, d.train_x, d.train_y,
                  iters=7, lr=0.5, record_params=True)
     assert res.param_history is not None
     assert res.param_history.log_noise_sq.shape == (7,)
-    # Last recorded state == final params (history records post-update params).
+    # history[i] is the evaluation point of loss[i]: history[0] == init, and
+    # the final post-update params are NOT in the history.
     np.testing.assert_allclose(
+        np.asarray(res.param_history.log_noise_sq[0]),
+        np.asarray(p0.log_noise_sq),
+    )
+    assert not np.allclose(
         np.asarray(res.param_history.log_noise_sq[-1]),
         np.asarray(res.params.log_noise_sq),
     )
