@@ -41,12 +41,23 @@ def chol_solve(B, A):
     return chol_solve_from_factor(chol_factor(A), B)
 
 
+# Above this size, XLA's triangular-solve expander's panel temps (O(n/block)
+# live buffers of ~n^2) dominate HBM; use the GEMM-recursion inverse instead.
+_TRI_INV_MIN_N = 2048
+
+
 def spd_inverse(A=None, *, L=None):
     """Materialized SPD inverse (needed for the k-fold diagonal blocks,
     reference `kin40k-FULL-compare.py:507`)."""
     if L is None:
         L = chol_factor(A)
-    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    n = L.shape[-1]
+    if L.ndim == 2 and n >= _TRI_INV_MIN_N:
+        from gpscore.ops.block_cholesky import tri_inverse_lower
+
+        Linv = tri_inverse_lower(L)
+        return matmul(Linv.T, Linv)
+    eye = jnp.eye(n, dtype=L.dtype)
     return chol_solve_from_factor(L, eye)
 
 
