@@ -1,6 +1,11 @@
 from gpscore.parallel.mesh import make_mesh, batch_sharding, replicated
 from gpscore.parallel.sharded_gram import sharded_gram
-from gpscore.parallel.sharded_cholesky import sharded_cholesky, sharded_half_logdet
+from gpscore.parallel.sharded_cholesky import (
+    sharded_cholesky,
+    sharded_half_logdet,
+    sharded_nlml,
+    sharded_tri_solve_lower,
+)
 from gpscore.parallel.sharded_loo import sharded_loo_moments, sharded_loo_value_and_grad
 from gpscore.parallel.sweeps import restart_sweep, sharded_restart_sweep
 
@@ -11,6 +16,8 @@ __all__ = [
     "sharded_gram",
     "sharded_cholesky",
     "sharded_half_logdet",
+    "sharded_nlml",
+    "sharded_tri_solve_lower",
     "sharded_loo_moments",
     "sharded_loo_value_and_grad",
     "restart_sweep",

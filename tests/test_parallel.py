@@ -147,3 +147,36 @@ def test_sharded_loo_moments_matches_single_device(rng):
     want = loo_exact(jnp.asarray(K), y, 0.25)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(want.mean), atol=2e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(want.cov), rtol=2e-3)
+
+
+def test_sharded_tri_solve_matches_scipy(rng):
+    from gpscore.parallel.sharded_cholesky import (
+        sharded_cholesky,
+        sharded_tri_solve_lower,
+    )
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    L = sharded_cholesky(A, mesh, block=32)
+    x = sharded_tri_solve_lower(L, b, mesh, block=32)
+    want = np.linalg.solve(
+        np.linalg.cholesky(np.asarray(A, np.float64)), np.asarray(b, np.float64)
+    )
+    np.testing.assert_allclose(np.asarray(x), want, atol=5e-4)
+
+
+def test_sharded_nlml_matches_single_device(rng):
+    from gpscore.models.exact import nlml_exact
+    from gpscore.parallel.sharded_cholesky import sharded_nlml
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    K = ard_gram(jnp.asarray(x), jnp.asarray(x), 0.3, jnp.zeros(2))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    got = sharded_nlml(K, y, 0.25, mesh, block=32)
+    want = nlml_exact(K, y, 0.25)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
