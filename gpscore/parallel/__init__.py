@@ -6,7 +6,12 @@ from gpscore.parallel.sharded_cholesky import (
     sharded_nlml,
     sharded_tri_solve_lower,
 )
-from gpscore.parallel.sharded_loo import sharded_loo_moments, sharded_loo_value_and_grad
+from gpscore.parallel.sharded_loo import (
+    make_sharded_loo_solve_diag,
+    sharded_loo_fit_step,
+    sharded_loo_moments,
+    sharded_loo_value_and_grad,
+)
 from gpscore.parallel.sweeps import restart_sweep, sharded_restart_sweep
 
 __all__ = [
@@ -18,6 +23,8 @@ __all__ = [
     "sharded_half_logdet",
     "sharded_nlml",
     "sharded_tri_solve_lower",
+    "make_sharded_loo_solve_diag",
+    "sharded_loo_fit_step",
     "sharded_loo_moments",
     "sharded_loo_value_and_grad",
     "restart_sweep",

@@ -85,8 +85,8 @@ def sharded_loo_moments(
       4. Kinv = Linv^T Linv, a = Kinv y, d = diag(Kinv), LOO identities.
 
     Forward-only (inference/evaluation at n beyond one chip); the gradient path
-    at this scale composes the custom-VJP solve core with these pieces (next
-    round). Returns (mean, var) replicated.
+    at this scale is :func:`make_sharded_loo_solve_diag` /
+    :func:`sharded_loo_fit_step`. Returns (mean, var) replicated.
     """
     from gpscore.ops.block_cholesky import tri_inverse_lower
     from gpscore.parallel.sharded_cholesky import sharded_cholesky
@@ -116,3 +116,100 @@ def sharded_loo_moments(
 
     fn = jax.jit(moments, in_shardings=(row, repl), out_shardings=(repl, repl))
     return fn(L, jax.device_put(y, repl))
+
+
+def make_sharded_loo_solve_diag(mesh: Mesh, axis: str = "data", block: int = 256):
+    """Distributed version of :func:`gpscore.ops.linalg.loo_solve_diag`:
+    (K^-1 y, diag(K^-1)) for row-sharded SPD K with a custom VJP, so the dense
+    LOO *gradient* path also never gathers an n x n operand onto one device.
+
+    Forward: shard_map panel Cholesky -> GSPMD-sharded triangular-inverse
+    recursion -> sharded SYRK. Backward: the same closed-form adjoints as the
+    single-chip core (one matvec + two GEMMs on the row-sharded K^-1):
+
+        K_bar = -(K^-1 a_bar) a^T - (K^-1 * d_bar[None, :]) K^-1
+    """
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.utils.precision import matmul
+
+    row = NamedSharding(mesh, P(axis))
+
+    def _forward_impl(K, y):
+        n = K.shape[0]
+        L = sharded_cholesky(K, mesh, axis=axis, block=block)
+
+        def solve_part(L, y):
+            L = jax.lax.with_sharding_constraint(L, row)
+            Linv = tri_inverse_lower(L)
+            Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+            a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+            d = jnp.diagonal(Kinv)
+            return a, d, Kinv
+
+        repl = NamedSharding(mesh, P())
+        fn = jax.jit(
+            solve_part, in_shardings=(row, repl), out_shardings=(repl, repl, row)
+        )
+        return fn(L, y)
+
+    @jax.custom_vjp
+    def f(K, y):
+        a, d, _ = _forward_impl(K, y)
+        return a, d
+
+    def f_fwd(K, y):
+        a, d, Kinv = _forward_impl(K, y)
+        return (a, d), (Kinv, a)
+
+    def f_bwd(res, cot):
+        Kinv, a = res
+        a_bar, d_bar = cot
+        n = a.shape[0]
+
+        def bwd_part(Kinv, a, a_bar, d_bar):
+            Kinv = jax.lax.with_sharding_constraint(Kinv, row)
+            w = matmul(Kinv, a_bar.reshape(n, 1))
+            y_bar = w[:, 0]
+            K_bar = -matmul(w, a.reshape(1, n)) - matmul(
+                Kinv * d_bar[None, :], Kinv
+            )
+            return jax.lax.with_sharding_constraint(K_bar, row), y_bar
+
+        repl = NamedSharding(mesh, P())
+        fn = jax.jit(
+            bwd_part,
+            in_shardings=(row, repl, repl, repl),
+            out_shardings=(row, repl),
+        )
+        return fn(Kinv, a, a_bar, d_bar)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
+                         axis: str = "data", block: int = 256, kernel: str = "ard"):
+    """One CRPS-LOO gradient step at large n with every n x n object sharded:
+    sharded Gram -> distributed Cholesky/solve core (custom VJP) -> CRPS ->
+    grad -> SGD update. Returns (loss, updated params)."""
+    from gpscore.ops.kernels import gram as gram_fn
+    from gpscore.scoring.rules import crps_gaussian
+
+    solve_diag = make_sharded_loo_solve_diag(mesh, axis=axis, block=block)
+    row = NamedSharding(mesh, P(axis))
+    n = x.shape[0]
+
+    def loss_fn(p, x, y):
+        x = jax.lax.with_sharding_constraint(x, row)
+        K = gram_fn(x, x, p.log_signal_sq, p.log_length, kind=kernel)
+        K = jax.lax.with_sharding_constraint(K, row)
+        K_hat = K + p.noise_sq * jnp.eye(n, dtype=K.dtype)
+        a, d = solve_diag(K_hat, y.reshape(n))
+        mean = y - a / d
+        var = 1.0 / d
+        return crps_gaussian(mean, var, y)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params, jax.device_put(x, row), y)
+    new = jax.tree.map(lambda p_, g: p_ - lr * g, params, grads)
+    return loss, new

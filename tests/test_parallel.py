@@ -180,3 +180,45 @@ def test_sharded_nlml_matches_single_device(rng):
     got = sharded_nlml(K, y, 0.25, mesh, block=32)
     want = nlml_exact(K, y, 0.25)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+
+
+def test_sharded_loo_solve_diag_grad_matches_single_device(rng):
+    from gpscore.ops.linalg import loo_solve_diag
+    from gpscore.parallel.sharded_loo import make_sharded_loo_solve_diag
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    K = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    f_sharded = make_sharded_loo_solve_diag(mesh, block=32)
+
+    def obj(f, K, y):
+        a, d = f(K, y)
+        return jnp.sum(jnp.sin(a) / d)
+
+    v1, g1 = jax.value_and_grad(lambda K: obj(f_sharded, K, y))(K)
+    v2, g2 = jax.value_and_grad(lambda K: obj(loo_solve_diag, K, y))(K)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=2e-2)
+
+
+def test_sharded_loo_fit_step_descends(rng):
+    from gpscore.fit import make_objective
+    from gpscore.parallel.sharded_loo import sharded_loo_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 256
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    loss0, p1 = sharded_loo_fit_step(p, x, y, mesh, lr=0.5, block=32)
+    loss1, _ = sharded_loo_fit_step(p1, x, y, mesh, lr=0.5, block=32)
+    assert float(loss1) < float(loss0)
+    # value parity with the single-device objective
+    ref = make_objective("crps", model="exact")(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(ref), rtol=2e-4)
