@@ -193,16 +193,20 @@ def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
     """One CRPS-LOO gradient step at large n with every n x n object sharded:
     sharded Gram -> distributed Cholesky/solve core (custom VJP) -> CRPS ->
     grad -> SGD update. Returns (loss, updated params)."""
-    from gpscore.ops.kernels import gram as gram_fn
+    from gpscore.ops.kernels import ard_gram, rbf_gram
     from gpscore.scoring.rules import crps_gaussian
 
     solve_diag = make_sharded_loo_solve_diag(mesh, axis=axis, block=block)
     row = NamedSharding(mesh, P(axis))
     n = x.shape[0]
+    # jnp Gram (not the size-dispatching entry): the Pallas kernel is a custom
+    # call GSPMD cannot partition — it would replicate the full n x n Gram on
+    # every device, defeating the sharding. XLA row-shards the jnp matmul chain.
+    gram_fn = ard_gram if kernel == "ard" else rbf_gram
 
     def loss_fn(p, x, y):
         x = jax.lax.with_sharding_constraint(x, row)
-        K = gram_fn(x, x, p.log_signal_sq, p.log_length, kind=kernel)
+        K = gram_fn(x, x, p.log_signal_sq, p.log_length)
         K = jax.lax.with_sharding_constraint(K, row)
         K_hat = K + p.noise_sq * jnp.eye(n, dtype=K.dtype)
         a, d = solve_diag(K_hat, y.reshape(n))
