@@ -8,9 +8,10 @@ Usage: python experiments/kin40k_fitc.py [--replicates 10] [--data kin40k.npz]
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

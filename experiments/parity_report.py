@@ -17,10 +17,12 @@ Usage: python experiments/parity_report.py [--out parity.json] [--dtype float64]
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import jax
 import jax.numpy as jnp

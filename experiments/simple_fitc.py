@@ -9,9 +9,10 @@ Usage: python experiments/simple_fitc.py [--replicates 100] [--out results.json]
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

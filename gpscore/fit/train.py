@@ -30,6 +30,14 @@ class FitResult(NamedTuple):
     param_history: Optional[GPParams] = None  # [iters, ...]-leaved, if recorded
 
 
+def max_reduce(xs):
+    """Elementwise-maximum fold of a nonempty list of scalars (NaN-propagating)."""
+    out = xs[0]
+    for x in xs[1:]:
+        out = jnp.maximum(out, x)
+    return out
+
+
 def _apply_update(params: GPParams, grads: GPParams, lr, lr_inducing):
     """SGD step with a separate inducing-point learning rate (the reference's
     ``learning_rate2``, `SIMPLE-FITC--comapre.py:318-319`)."""
@@ -87,10 +95,14 @@ def fit_gd(
         k = jax.random.fold_in(key, i)
         loss, grads = vg(p, x, y, k)
         new_p = _apply_update(p, grads, lr, lr_inducing)
-        # One scalar probe instead of per-leaf all(isfinite(...)) reductions
-        # (measured ~15% of a small-model DSS iteration): NaN/Inf propagate
-        # through sums, so a finite probe implies every grad entry is finite.
-        probe = loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+        # One scalar probe instead of per-leaf all(isfinite(...)) reductions:
+        # max(|.|) propagates NaN and surfaces Inf, and — unlike a sum probe —
+        # cannot overflow on large-magnitude finite gradients, which would
+        # silently skip every update while reporting ok=True.
+        probe = jnp.maximum(
+            jnp.abs(loss),
+            max_reduce([jnp.max(jnp.abs(g)) for g in jax.tree.leaves(grads)]),
+        )
         finite = jnp.isfinite(probe)
         if skip_nonfinite:
             p = jax.tree.map(

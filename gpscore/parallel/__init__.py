@@ -7,6 +7,7 @@ from gpscore.parallel.sharded_cholesky import (
     sharded_tri_solve_lower,
 )
 from gpscore.parallel.sharded_loo import (
+    make_sharded_loo_fit_step,
     make_sharded_loo_solve_diag,
     sharded_loo_fit_step,
     sharded_loo_moments,
@@ -23,6 +24,7 @@ __all__ = [
     "sharded_half_logdet",
     "sharded_nlml",
     "sharded_tri_solve_lower",
+    "make_sharded_loo_fit_step",
     "make_sharded_loo_solve_diag",
     "sharded_loo_fit_step",
     "sharded_loo_moments",

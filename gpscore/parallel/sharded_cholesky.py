@@ -99,6 +99,19 @@ def sharded_cholesky(A, mesh: Mesh, axis: str = "data", block: int = 256):
     return fn(A)
 
 
+def add_noise_sharded(k_ff, noise_sq, mesh: Mesh, axis: str = "data"):
+    """K + noise_sq I with the identity formed inside a jitted, row-sharded
+    program (an eager jnp.eye(n) would land whole on one device)."""
+    n = k_ff.shape[0]
+    row = NamedSharding(mesh, P(axis))
+
+    def impl(K):
+        return K + noise_sq * jnp.eye(n, dtype=K.dtype)
+
+    fn = jax.jit(impl, in_shardings=(row,), out_shardings=row)
+    return fn(jax.device_put(k_ff, row))
+
+
 def sharded_half_logdet(L_sharded, mesh: Mesh, axis: str = "data"):
     """0.5 log det A from a row-sharded Cholesky factor: each device sums the
     logs of its own diagonal entries; one scalar psum."""
@@ -176,17 +189,9 @@ def sharded_nlml(k_ff, y, noise_sq, mesh: Mesh, axis: str = "data",
     (reference computes this densely single-process,
     `SIMPLE-DATA FULL-comapre.py:292-296`). Forward-only; returns a scalar.
     """
-    import jax.numpy as _jnp
-
     n = k_ff.shape[0]
-    row = NamedSharding(mesh, P(axis))
-
-    @jax.jit
-    def add_noise(K):
-        return K + noise_sq * _jnp.eye(n, dtype=K.dtype)
-
-    K_hat = add_noise(jax.device_put(k_ff, row))
+    K_hat = add_noise_sharded(k_ff, noise_sq, mesh, axis=axis)
     L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
     w = sharded_tri_solve_lower(L, y.reshape(n), mesh, axis=axis, block=block)
     half_logdet = sharded_half_logdet(L, mesh, axis=axis)
-    return 0.5 * n * _jnp.log(2.0 * _jnp.pi) + half_logdet + 0.5 * _jnp.sum(w * w)
+    return 0.5 * n * jnp.log(2.0 * jnp.pi) + half_logdet + 0.5 * jnp.sum(w * w)

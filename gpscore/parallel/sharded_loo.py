@@ -89,17 +89,13 @@ def sharded_loo_moments(
     :func:`sharded_loo_fit_step`. Returns (mean, var) replicated.
     """
     from gpscore.ops.block_cholesky import tri_inverse_lower
-    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.parallel.sharded_cholesky import add_noise_sharded, sharded_cholesky
 
     n = k_ff.shape[0]
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    @jax.jit
-    def add_noise(K):
-        return K + noise_sq * jnp.eye(n, dtype=K.dtype)
-
-    K_hat = add_noise(jax.device_put(k_ff, row))
+    K_hat = add_noise_sharded(k_ff, noise_sq, mesh, axis=axis)
     L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
 
     def moments(L, y):
@@ -188,32 +184,71 @@ def make_sharded_loo_solve_diag(mesh: Mesh, axis: str = "data", block: int = 256
     return f
 
 
-def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
-                         axis: str = "data", block: int = 256, kernel: str = "ard"):
-    """One CRPS-LOO gradient step at large n with every n x n object sharded:
-    sharded Gram -> distributed Cholesky/solve core (custom VJP) -> CRPS ->
-    grad -> SGD update. Returns (loss, updated params)."""
+def make_sharded_loo_fit_step(mesh: Mesh, lr: float = 1.0, axis: str = "data",
+                              block: int = 256, kernel: str = "ard"):
+    """Build a compile-once CRPS-LOO gradient step at large n with every n x n
+    object sharded: sharded Gram -> distributed Cholesky/solve core (custom VJP)
+    -> CRPS -> grad -> SGD update.
+
+    Returns ``step(params, x, y) -> (loss, updated params)``. Build the step
+    once and call it per iteration — the returned closure holds the jitted
+    distributed stack, so iterations after the first reuse the compiled
+    programs (rebuilding it per call would retrace + recompile the most
+    expensive programs in the codebase every step).
+    """
     from gpscore.ops.kernels import ard_gram, rbf_gram
     from gpscore.scoring.rules import crps_gaussian
 
     solve_diag = make_sharded_loo_solve_diag(mesh, axis=axis, block=block)
     row = NamedSharding(mesh, P(axis))
-    n = x.shape[0]
+    repl = NamedSharding(mesh, P())
     # jnp Gram (not the size-dispatching entry): the Pallas kernel is a custom
     # call GSPMD cannot partition — it would replicate the full n x n Gram on
     # every device, defeating the sharding. XLA row-shards the jnp matmul chain.
     gram_fn = ard_gram if kernel == "ard" else rbf_gram
 
     def loss_fn(p, x, y):
+        n = x.shape[0]
         x = jax.lax.with_sharding_constraint(x, row)
         K = gram_fn(x, x, p.log_signal_sq, p.log_length)
-        K = jax.lax.with_sharding_constraint(K, row)
-        K_hat = K + p.noise_sq * jnp.eye(n, dtype=K.dtype)
+        # K_hat (incl. the n x n identity) is formed inside the jitted program
+        # under a row-sharding constraint — an eager jnp.eye(n) would
+        # materialize whole on one device at exactly the scale this path
+        # exists for.
+        K_hat = jax.lax.with_sharding_constraint(
+            K + p.noise_sq * jnp.eye(n, dtype=K.dtype), row
+        )
         a, d = solve_diag(K_hat, y.reshape(n))
         mean = y - a / d
         var = 1.0 / d
         return crps_gaussian(mean, var, y)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params, jax.device_put(x, row), y)
-    new = jax.tree.map(lambda p_, g: p_ - lr * g, params, grads)
-    return loss, new
+    def step_impl(p, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        new = jax.tree.map(lambda p_, g: p_ - lr * g, p, grads)
+        return loss, new
+
+    jitted = jax.jit(step_impl, in_shardings=(repl, row, repl))
+
+    def step(params, x, y):
+        # Normalize everything to committed, explicitly-sharded arrays: the jit
+        # cache keys on input committed-ness/sharding, so mixing host arrays
+        # (first call) with device outputs (subsequent calls) would retrace.
+        return jitted(
+            jax.device_put(params, repl),
+            jax.device_put(x, row),
+            jax.device_put(y, repl),
+        )
+
+    return step
+
+
+def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
+                         axis: str = "data", block: int = 256, kernel: str = "ard"):
+    """One-shot convenience wrapper around :func:`make_sharded_loo_fit_step`.
+
+    For training loops build the step once with the factory — this wrapper
+    rebuilds (and recompiles) the distributed stack on every call.
+    """
+    step = make_sharded_loo_fit_step(mesh, lr=lr, axis=axis, block=block, kernel=kernel)
+    return step(params, x, y)

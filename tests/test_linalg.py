@@ -153,3 +153,14 @@ def test_tri_inverse_lower_matches_solve(rng):
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
         # strictly lower-triangular output
         assert np.allclose(np.triu(np.asarray(got), 1), 0.0)
+
+
+def test_spd_inverse_large_n_branch(rng, monkeypatch):
+    """The n >= threshold GEMM-recursion branch must match the solve branch."""
+    from gpscore.ops import linalg as linalg_mod
+
+    A = jnp.asarray(_spd(rng, 96))
+    want = linalg_mod.spd_inverse(A)  # small-n (solve) branch
+    monkeypatch.setattr(linalg_mod, "_TRI_INV_MIN_N", 64)
+    got = linalg_mod.spd_inverse(A)  # forced large-n branch
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

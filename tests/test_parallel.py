@@ -222,3 +222,32 @@ def test_sharded_loo_fit_step_descends(rng):
     # value parity with the single-device objective
     ref = make_objective("crps", model="exact")(p, x, y, None)
     np.testing.assert_allclose(float(loss0), float(ref), rtol=2e-4)
+
+
+def test_make_sharded_loo_fit_step_reuses_compilation(rng):
+    """The factory-built step must not retrace between calls."""
+    from gpscore.parallel import make_sharded_loo_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 128
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_loo_fit_step(mesh, lr=0.5, block=16)
+    loss0, p1 = step(p, x, y)
+    loss1, p2 = step(p1, x, y)
+    assert float(loss1) < float(loss0)
+    # The jitted step must have traced exactly once across both calls
+    # (rebuilding the closure per call would retrace + recompile the whole
+    # distributed stack every iteration).
+    # step.__closure__: find the jitted function and inspect its cache.
+    jitted = next(
+        c.cell_contents
+        for c in step.__closure__
+        if hasattr(c.cell_contents, "_cache_size")
+    )
+    assert jitted._cache_size() == 1, jitted._cache_size()
