@@ -6,6 +6,10 @@ from gpscore.parallel.sharded_cholesky import (
     sharded_nlml,
     sharded_tri_solve_lower,
 )
+from gpscore.parallel.sharded_kfold import (
+    make_sharded_kfold_blocks,
+    make_sharded_kfold_fit_step,
+)
 from gpscore.parallel.sharded_loo import (
     make_sharded_loo_fit_step,
     make_sharded_loo_solve_diag,
@@ -24,6 +28,8 @@ __all__ = [
     "sharded_half_logdet",
     "sharded_nlml",
     "sharded_tri_solve_lower",
+    "make_sharded_kfold_blocks",
+    "make_sharded_kfold_fit_step",
     "make_sharded_loo_fit_step",
     "make_sharded_loo_solve_diag",
     "sharded_loo_fit_step",

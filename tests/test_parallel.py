@@ -251,3 +251,101 @@ def test_make_sharded_loo_fit_step_reuses_compilation(rng):
         if hasattr(c.cell_contents, "_cache_size")
     )
     assert jitted._cache_size() == 1, jitted._cache_size()
+
+
+def test_sharded_es_requires_key(rng):
+    from gpscore.parallel import sharded_loo_value_and_grad
+
+    mesh = make_mesh(batch=1, data=8)
+    x = jnp.zeros((16, 1))
+    y = jnp.zeros((16,))
+    p = GPParams(jnp.zeros(()), jnp.zeros((1,)), jnp.zeros(()))
+    with pytest.raises(ValueError, match="PRNG key"):
+        sharded_loo_value_and_grad(p, x, y, mesh, rule="es")
+
+
+def test_sharded_kfold_blocks_matches_single_device(rng):
+    """Distributed (K^-1 y, [K^-1]_bb) primitive: value + custom-VJP gradient
+    vs autodiff through the dense single-device inverse."""
+    from gpscore.ops import linalg
+    from gpscore.parallel import make_sharded_kfold_blocks
+
+    mesh = make_mesh(batch=1, data=8)
+    n, k = 128, 4
+    nb = n // k
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    K = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    f_sharded = make_sharded_kfold_blocks(mesh, fold_k=k, block=16)
+
+    def f_dense(K, y):
+        Kinv = linalg.spd_inverse(K)
+        a = Kinv @ y
+        blocks = Kinv.reshape(k, nb, k, nb)
+        A = jnp.stack([blocks[b, :, b, :] for b in range(k)])
+        return a, A
+
+    def obj(f, K):
+        a, A = f(K, y)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(A))
+
+    v1, g1 = jax.value_and_grad(lambda K: obj(f_sharded, K))(K)
+    v2, g2 = jax.value_and_grad(lambda K: obj(f_dense, K))(K)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    # K is constrained symmetric (it is always built as Gram + diag), so its
+    # gradient is only defined up to the symmetric part: the custom VJP returns
+    # the exact linear adjoint while Cholesky-backed autodiff symmetrizes.
+    sym = lambda g: (np.asarray(g) + np.asarray(g).T) / 2
+    np.testing.assert_allclose(sym(g1), sym(g2), atol=1e-4, rtol=2e-2)
+
+
+@pytest.mark.parametrize("rule", ["dss", "kc"])
+def test_sharded_kfold_fit_step_matches_objective(rng, rule):
+    """Full distributed k-fold step: loss parity with the single-device
+    objective, one-step param parity with its value_and_grad, and descent."""
+    from gpscore.parallel import make_sharded_kfold_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n, lr = 128, 0.01
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_kfold_fit_step(mesh, rule=rule, fold_k=4, lr=lr, block=16)
+    loss0, p1 = step(p, x, y)
+    loss1, p2 = step(p1, x, y)
+    assert float(loss1) < float(loss0)
+
+    ref_loss = make_objective(rule, model="exact")
+    want0, grads = jax.value_and_grad(ref_loss)(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(want0), rtol=2e-4)
+    p1_want = jax.tree.map(lambda a, g: a - lr * g, p, grads)
+    for got, want in zip(jax.tree.leaves(p1), jax.tree.leaves(p1_want)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=2e-2
+        )
+
+
+def test_sharded_kfold_es_step_runs_and_requires_key(rng):
+    from gpscore.parallel import make_sharded_kfold_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 64
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_kfold_fit_step(
+        mesh, rule="es", fold_k=4, lr=0.01, block=8, num_sim=32
+    )
+    with pytest.raises(ValueError, match="PRNG key"):
+        step(p, x, y)
+    loss, p1 = step(p, x, y, key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(p1.log_length)))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracle
 from gpscore.scoring import (
@@ -192,3 +193,10 @@ def test_energy_score_eigh_mode_matches_chol_statistically(rng):
     b = float(energy_score(jax.random.PRNGKey(1), m, C, y, num_sim=4000,
                            sqrt_method="eigh"))
     np.testing.assert_allclose(a, b, rtol=5e-2)
+
+
+def test_energy_score_rejects_bad_sqrt_method(rng):
+    C = jnp.eye(3)
+    with pytest.raises(ValueError, match="sqrt_method"):
+        energy_score(jax.random.PRNGKey(0), jnp.zeros(3), C, jnp.zeros(3),
+                     num_sim=8, sqrt_method="cholesky")
