@@ -5,6 +5,12 @@ reference protocol, ARD kernel over the 8-d inputs, random para_l init + unit
 scalars for the non-CRPS sections (`kin40k-FULL-compare.py:226-233, 321-324`).
 
 Usage: python experiments/kin40k_full.py [--replicates 30] [--data kin40k.npz]
+
+Beyond the reference: `--n-train 9700` fits the exact GP on the ENTIRE train
+pool (the reference's dense CPU path caps at 500 rows because of its O(n^3)
+inverse per iteration, `kin40k-FULL-compare.py:196,209`); the custom-VJP solve
+cores keep a 400-iteration CRPS-LOO fit at this size to minutes on one v5e
+chip. RESULTS.md records a measured full-pool run.
 """
 
 import argparse
@@ -28,15 +34,26 @@ def main(argv=None):
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "es"],
                     choices=rules_for("kin40k_full"))
     ap.add_argument("--data", default=None, help="kin40k .npz/csv dir (else synthetic)")
+    ap.add_argument("--n-train", type=int, default=500,
+                    help="per-replicate train rows (reference protocol: 500, "
+                         "`kin40k-FULL-compare.py:196`; the dense TPU stack "
+                         "takes the full 9700-row pool — must be divisible "
+                         "by 4 for the fold objectives)")
+    ap.add_argument("--n-test", type=int, default=500)
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
                     help="directory for fitted-parameter checkpoints")
     args = ap.parse_args(argv)
 
     data = load_kin40k(args.data)
+    if args.n_train % 4 != 0 and any(r in ("dss", "es") for r in args.rules):
+        ap.error(f"--n-train {args.n_train} must be divisible by fold_k=4 "
+                 "for the dss/es objectives")
 
     def make_data(j):
-        s = kin40k_replicate_split(data, j)
+        s = kin40k_replicate_split(
+            data, j, n_subsample=args.n_train, n_test=args.n_test
+        )
         return s.train_x, s.train_y, s.test_x, s.test_y
 
     def make_params(key, d):

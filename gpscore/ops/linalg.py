@@ -160,6 +160,72 @@ def _loo_solve_diag_bwd(res, cot):
 loo_solve_diag.defvjp(_loo_solve_diag_fwd, _loo_solve_diag_bwd)
 
 
+def _kfold_blocks_of(Kinv, fold_k: int):
+    n = Kinv.shape[-1]
+    nb = n // fold_k
+    return jnp.stack(
+        [
+            jax.lax.dynamic_slice(Kinv, (b * nb, b * nb), (nb, nb))
+            for b in range(fold_k)
+        ]
+    )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def kfold_solve_blocks(K, y, fold_k: int):
+    """(a, A) = (K^-1 y, stacked diagonal blocks [K^-1]_bb) for SPD K — the two
+    ingredients of the k-fold conditionals (reference
+    `kin40k-FULL-compare.py:507-530`) — with the same closed-form,
+    memory-bounded backward as :func:`loo_solve_diag` (of which this is the
+    block generalization; at fold size 1 the A-diagonal equals d):
+
+        a = K^-1 y:        K_bar += -(K^-1 a_bar) a^T,   y_bar = K^-1 a_bar
+        A_b = [K^-1]_bb:   K_bar += -(K^-1 blockdiag(A_bar) K^-1)
+
+    Plain autodiff of the factor/solve chain re-materializes panel residuals
+    and re-runs triangular machinery backward; the adjoint above is one solve
+    + three MXU matmuls on the already-computed K^-1 (measured at n=8192 on
+    v5e: DSS value_and_grad 0.44 s -> 0.26 s, kc 0.23 s).
+    """
+    a, A, _ = _kfold_solve_blocks_fwd_impl(K, y, fold_k)
+    return a, A
+
+
+def _kfold_solve_blocks_fwd_impl(K, y, fold_k: int):
+    n = K.shape[-1]
+    L = chol_factor(K)
+    Kinv = spd_inverse(L=L)
+    a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+    return a, _kfold_blocks_of(Kinv, fold_k), Kinv
+
+
+def _kfold_solve_blocks_fwd(K, y, fold_k):
+    # JAX >= 0.9: custom_vjp fwd keeps the primal signature (nondiff args stay
+    # in place); only bwd receives them moved to the front.
+    a, A, Kinv = _kfold_solve_blocks_fwd_impl(K, y, fold_k)
+    return (a, A), (Kinv, a)
+
+
+def _kfold_solve_blocks_bwd(fold_k, res, cot):
+    Kinv, a = res
+    a_bar, A_bar = cot
+    n = a.shape[0]
+    nb = n // fold_k
+    w = matmul(Kinv, a_bar.reshape(n, 1))  # K^-1 a_bar  [n, 1]
+    y_bar = w[:, 0]
+    B = jnp.zeros((n, n), Kinv.dtype)
+    for b in range(fold_k):
+        B = jax.lax.dynamic_update_slice(B, A_bar[b], (b * nb, b * nb))
+    K_bar = -matmul(w, a.reshape(1, n)) - matmul(matmul(Kinv, B), Kinv)
+    return K_bar, y_bar
+
+
+kfold_solve_blocks.defvjp(_kfold_solve_blocks_fwd, _kfold_solve_blocks_bwd)
+
+
 def symmetric_sqrt(C):
     """Symmetric PSD square root U diag(s)^0.5 U^T.
 

@@ -164,3 +164,44 @@ def test_spd_inverse_large_n_branch(rng, monkeypatch):
     monkeypatch.setattr(linalg_mod, "_TRI_INV_MIN_N", 64)
     got = linalg_mod.spd_inverse(A)  # forced large-n branch
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_kfold_solve_blocks_custom_vjp_matches_autodiff(rng):
+    """Block generalization of loo_solve_diag: value + gradient (symmetric
+    part — K is always symmetric-constructed) vs plain autodiff."""
+    import jax
+    from gpscore.ops import linalg
+
+    n, k = 64, 4
+    nb = n // k
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    K = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def dense(K, y):
+        Kinv = jnp.linalg.inv(K)
+        a = Kinv @ y
+        blocks = Kinv.reshape(k, nb, k, nb)
+        A = jnp.stack([blocks[b, :, b, :] for b in range(k)])
+        return a, A
+
+    a1, A1 = linalg.kfold_solve_blocks(K, y, k)
+    a2, A2 = dense(K, y)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-5)
+
+    def obj(f, K, y):
+        a, A = f(K, y)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(A))
+
+    gK1, gy1 = jax.grad(lambda K, y: obj(lambda K_, y_: linalg.kfold_solve_blocks(K_, y_, k), K, y), argnums=(0, 1))(K, y)
+    gK2, gy2 = jax.grad(lambda K, y: obj(dense, K, y), argnums=(0, 1))(K, y)
+    sym = lambda g: (np.asarray(g) + np.asarray(g).T) / 2
+    np.testing.assert_allclose(sym(gK1), sym(gK2), atol=1e-4, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-4)
+
+    # fold size 1 degenerates to the LOO solve-diag primitive
+    a3, A3 = linalg.kfold_solve_blocks(K, y, n)
+    a4, d4 = linalg.loo_solve_diag(K, y)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A3).ravel(), np.asarray(d4), atol=1e-5)
