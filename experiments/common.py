@@ -54,7 +54,16 @@ def fit_and_eval(
         lr_inducing=schedule.lr_inducing,
         key=key,
     )
-    p = res.params
+    metrics = eval_predictive_metrics(
+        model, res.params, train_x, train_y, test_x, test_y, kernel=kernel
+    )
+    return metrics, res
+
+
+def eval_predictive_metrics(
+    model: str, p: GPParams, train_x, train_y, test_x, test_y, kernel: str = "ard"
+):
+    """Test-predictive §2.6 metric suite for fitted params (jit/vmap-safe)."""
     if model == "exact":
         k_ff = gram(train_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
         k_sf = gram(test_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
@@ -63,8 +72,7 @@ def fit_and_eval(
     else:
         pred = fitc_predictive(train_x, train_y, test_x, p, kind=kernel)
     var = jnp.diagonal(pred.cov)
-    metrics = evaluate_predictive(pred.mean, var, test_y, train_y)
-    return metrics, res
+    return evaluate_predictive(pred.mean, var, test_y, train_y)
 
 
 def run_sweep(
@@ -81,6 +89,7 @@ def run_sweep(
     seed: int = 0,
     verbose: bool = True,
     save_params_dir: Optional[str] = None,
+    segment_iters: Optional[int] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Run all (rule x replicate) fits; return per-rule replicate-mean metrics.
 
@@ -92,6 +101,15 @@ def run_sweep(
     (rule, replicate) is checkpointed to ``<dir>/<rule>_params.npz`` (batched
     over the replicate axis) — the persistence the reference lacks entirely
     (SURVEY.md §5).
+
+    ``segment_iters``: if set, each fit runs as host-chunked segments of at most
+    this many GD iterations (one compiled program reused across segments)
+    instead of one scan over the full schedule. Needed at large n: a single
+    n~10k 400-iteration program is a multi-minute uninterrupted device
+    execution, which remote-tunnel TPU transports kill (worker crash); ~30 s
+    segments are transport-safe and numerically identical for the
+    deterministic rules (for ``es`` the segment boundary re-derives the MC key
+    stream — same distribution, different draws than the single-program fit).
     """
     data = [make_data(j) for j in range(replicates)]
     stacked = tuple(
@@ -102,19 +120,26 @@ def run_sweep(
         sched = schedules[rule]
         t0 = time.time()
 
-        def one(j, tx, ty, sx, sy):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
-            params0 = make_params(key, d)
-            metrics, res = fit_and_eval(
-                rule, model, sched, params0, tx, ty, sx, sy,
-                key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,
-                num_sim=num_sim,
+        if segment_iters and segment_iters < sched.iters:
+            metrics, ok, fitted = _segmented_rule_sweep(
+                rule, model, sched, make_params, stacked, replicates, d,
+                kernel, fold_k, num_sim, seed, segment_iters,
             )
-            return metrics, res.ok, res.params
+        else:
 
-        metrics, ok, fitted = jax.jit(jax.vmap(one))(
-            jnp.arange(replicates), *stacked
-        )
+            def one(j, tx, ty, sx, sy):
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
+                params0 = make_params(key, d)
+                metrics, res = fit_and_eval(
+                    rule, model, sched, params0, tx, ty, sx, sy,
+                    key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,
+                    num_sim=num_sim,
+                )
+                return metrics, res.ok, res.params
+
+            metrics, ok, fitted = jax.jit(jax.vmap(one))(
+                jnp.arange(replicates), *stacked
+            )
         if save_params_dir:
             import os
 
@@ -143,6 +168,60 @@ def run_sweep(
         if verbose:
             print(f"[{rule}] {json.dumps(means, sort_keys=True)}", flush=True)
     return results
+
+
+def _segmented_rule_sweep(
+    rule, model, sched, make_params, stacked, replicates, d,
+    kernel, fold_k, num_sim, seed, segment_iters,
+):
+    """One rule's replicate sweep as host-chunked fit segments (see run_sweep).
+
+    Key derivation matches the single-program path (replicate key = fold_in
+    seed key by j; fit key = fold_in by 1), with a further per-segment fold_in
+    for the stochastic rules. Readbacks between segments double as transport
+    keep-alives.
+    """
+    loss = make_objective(
+        rule, model=model, kernel=kernel, fold_k=fold_k, num_sim=num_sim
+    )
+    tx, ty, sx, sy = stacked
+
+    rep_keys = jax.vmap(
+        lambda j: jax.random.fold_in(jax.random.PRNGKey(seed), j)
+    )(jnp.arange(replicates))
+    params = jax.vmap(lambda k: make_params(k, d))(rep_keys)
+    fit_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(rep_keys)
+
+    seg_sizes = [segment_iters] * (sched.iters // segment_iters)
+    if sched.iters % segment_iters:
+        seg_sizes.append(sched.iters % segment_iters)
+
+    seg_fns = {}  # one compiled program per distinct segment length (<= 2)
+
+    def make_seg_fn(it):
+        def one_seg(p, tx, ty, k):
+            res = fit_gd(
+                loss, p, tx, ty, iters=it, lr=sched.lr,
+                lr_inducing=sched.lr_inducing, key=k,
+            )
+            return res.params, res.ok
+        return jax.jit(jax.vmap(one_seg))
+
+    ok = jnp.zeros((replicates,), bool)
+    for s, it in enumerate(seg_sizes):
+        fn = seg_fns.setdefault(it, make_seg_fn(it))
+        seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(fit_keys)
+        params, seg_ok = fn(params, tx, ty, seg_keys)
+        ok = ok | seg_ok
+        jax.block_until_ready(params)
+
+    eval_fn = jax.jit(jax.vmap(
+        lambda p, tx, ty, sx, sy: eval_predictive_metrics(
+            model, p, tx, ty, sx, sy, kernel=kernel
+        )
+    ))
+    metrics = eval_fn(params, tx, ty, sx, sy)
+    return metrics, ok, params
 
 
 def save_results(results, path: Optional[str]):

@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs", "dss", "kc"],
                     choices=rules_for("kin40k_fitc"))
     ap.add_argument("--num-inducing", type=int, default=20)
+    ap.add_argument("--n-train", type=int, default=500,
+                    help="per-replicate train rows (reference: 500; FITC is "
+                         "O(n m^2) so the full 9700-row pool is cheap — must "
+                         "be divisible by 4 for the fold objectives)")
+    ap.add_argument("--n-test", type=int, default=500)
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
@@ -38,9 +43,14 @@ def main(argv=None):
 
     data = load_kin40k(args.data)
     m = args.num_inducing
+    if args.n_train % 4 != 0 and any(r in ("dss", "kc") for r in args.rules):
+        ap.error(f"--n-train {args.n_train} must be divisible by fold_k=4 "
+                 "for the dss/kc objectives")
 
     def make_data(j):
-        s = kin40k_replicate_split(data, j)
+        s = kin40k_replicate_split(
+            data, j, n_subsample=args.n_train, n_test=args.n_test
+        )
         return s.train_x, s.train_y, s.test_x, s.test_y
 
     def make_params(key, d):

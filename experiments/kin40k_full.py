@@ -40,6 +40,16 @@ def main(argv=None):
                          "takes the full 9700-row pool — must be divisible "
                          "by 4 for the fold objectives)")
     ap.add_argument("--n-test", type=int, default=500)
+    ap.add_argument("--segment-iters", type=int, default=None,
+                    help="host-chunk each fit into segments of at most this "
+                         "many GD iterations (required at --n-train ~10k: "
+                         "remote-tunnel transports kill multi-minute "
+                         "uninterrupted device programs; 100 is safe)")
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="multiply schedule learning rates. The reference "
+                         "lrs are tuned at n=500; NLML/DSS/ES are per-sum "
+                         "(not per-mean) objectives whose gradients scale "
+                         "with n, so at --n-train N use ~500/N for them")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
                     help="directory for fitted-parameter checkpoints")
@@ -68,11 +78,17 @@ def main(argv=None):
             inducing=None,
         )
 
-    schedules = {r: SCHEDULES[("kin40k_full", r)] for r in args.rules}
+    schedules = {}
+    for r in args.rules:
+        s = SCHEDULES[("kin40k_full", r)]
+        if args.lr_scale != 1.0:
+            s = type(s)(s.rule, s.iters, s.lr * args.lr_scale, s.lr_inducing)
+        schedules[r] = s
     results = run_sweep(
         args.rules, "exact", schedules, make_data, make_params,
         replicates=args.replicates, d=8,
         save_params_dir=args.save_params,
+        segment_iters=args.segment_iters,
     )
     save_results(results, args.out)
     return results

@@ -15,6 +15,8 @@ jitter inside jit (`safe_cholesky`) — principled, vmap-safe fault tolerance.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
@@ -171,10 +173,7 @@ def _kfold_blocks_of(Kinv, fold_k: int):
     )
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def kfold_solve_blocks(K, y, fold_k: int):
     """(a, A) = (K^-1 y, stacked diagonal blocks [K^-1]_bb) for SPD K — the two
     ingredients of the k-fold conditionals (reference
