@@ -45,6 +45,10 @@ def main(argv=None):
                          "many GD iterations (required at --n-train ~10k: "
                          "remote-tunnel transports kill multi-minute "
                          "uninterrupted device programs; 100 is safe)")
+    ap.add_argument("--iters-scale", type=float, default=1.0,
+                    help="scale schedule iteration counts (e.g. ES's "
+                         "reference schedule of 25 iterations underfits at "
+                         "large --n-train)")
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="multiply schedule learning rates. The reference "
                          "lrs are tuned at n=500; NLML/DSS/ES are per-sum "
@@ -81,8 +85,9 @@ def main(argv=None):
     schedules = {}
     for r in args.rules:
         s = SCHEDULES[("kin40k_full", r)]
-        if args.lr_scale != 1.0:
-            s = type(s)(s.rule, s.iters, s.lr * args.lr_scale, s.lr_inducing)
+        if args.lr_scale != 1.0 or args.iters_scale != 1.0:
+            s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)),
+                        s.lr * args.lr_scale, s.lr_inducing)
         schedules[r] = s
     results = run_sweep(
         args.rules, "exact", schedules, make_data, make_params,
