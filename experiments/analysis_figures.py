@@ -28,8 +28,12 @@ from gpscore.analysis import (
     crps_illustration,
     crps_mean_error_curve,
     crps_var_error_curve,
-    dss_correlation_curve,
-    es_correlation_curve,
+    dss_correlation_family,
+    dss_mean_error_curve,
+    dss_var_error_curve,
+    es_correlation_family,
+    es_mean_error_curve,
+    es_var_error_curve,
     logs_mean_error_curve,
     logs_var_error_curve,
     objective_surface,
@@ -83,28 +87,61 @@ def main(argv=None):
     plt.close(fig)
     print("wrote crps_illustration.png")
 
-    # --- sensitivity curves (relative-change-NEW.R) ---
+    # --- sensitivity curves (relative-change-NEW.R, all 12 curves) ---
+    # R sweep grids verbatim (`relative-change-NEW.R:6-17`): pre_mu -5..5 by .5,
+    # pre_sigma_sq = (.05..1 by .1, 1..10 by 1), true_corr .2..0.8 by .2,
+    # range_corr 0..0.9 by .1; x axes are the normalized errors (`:10-11`).
     key = jax.random.PRNGKey(0)
-    mus = jnp.linspace(-2.0, 2.0, 41)
-    vs = jnp.linspace(0.25, 4.0, 41)
-    rhos = jnp.linspace(-0.8, 0.95, 36)
-    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    pre_mu = jnp.linspace(-5.0, 5.0, 21)
+    pre_var = jnp.concatenate([
+        jnp.arange(0.05, 1.05, 0.1), jnp.arange(1.0, 10.5, 1.0)
+    ]).astype(jnp.float32)
+    norm_mean_err = -pre_mu          # (true_mu - pre_mu) / true_sigma_sq
+    norm_var_err = 1.0 - pre_var     # (true_sigma_sq - pre_sigma_sq) / true_sigma_sq
+    true_rhos = [0.2, 0.4, 0.6, 0.8]
+    range_corr = jnp.arange(0.0, 0.95, 0.1)
+
+    fig, axes = plt.subplots(3, 3, figsize=(15, 11), constrained_layout=True)
     plots.sensitivity_plot(
-        axes[0], mus,
-        {"CRPS": crps_mean_error_curve(key, mus),
-         "log score": logs_mean_error_curve(key, mus)},
-        xlabel="mean error", title="sensitivity to mean error")
+        axes[0, 0], norm_mean_err,
+        {"CRPS": crps_mean_error_curve(key, pre_mu),
+         "log score": logs_mean_error_curve(key, pre_mu)},
+        xlabel="normalized mean error", title="CRPS / log score: mean error")
     plots.sensitivity_plot(
-        axes[1], vs,
-        {"CRPS": crps_var_error_curve(key, vs),
-         "log score": logs_var_error_curve(key, vs)},
-        xlabel="predictive variance (truth 1.0)", title="sensitivity to variance error")
+        axes[0, 1], norm_mean_err,
+        {"DSS": dss_mean_error_curve(key, pre_mu)},
+        xlabel="normalized mean error", title="DSS: mean error")
     plots.sensitivity_plot(
-        axes[2], rhos,
-        {"DSS": dss_correlation_curve(key, 0.5, rhos),
-         "ES": es_correlation_curve(key, 0.5, rhos, num_data=100, num_sim=64)},
-        xlabel="predictive correlation (truth 0.5)",
-        title="sensitivity to correlation error")
+        axes[0, 2], norm_mean_err,
+        {"ES": es_mean_error_curve(key, pre_mu)},
+        xlabel="normalized mean error", title="ES: mean error")
+    plots.sensitivity_plot(
+        axes[1, 0], norm_var_err,
+        {"CRPS": crps_var_error_curve(key, pre_var),
+         "log score": logs_var_error_curve(key, pre_var)},
+        xlabel="normalized variance error", title="CRPS / log score: variance error")
+    plots.sensitivity_plot(
+        axes[1, 1], norm_var_err,
+        {"DSS": dss_var_error_curve(key, pre_var)},
+        xlabel="normalized variance error", title="DSS: variance error")
+    # R plots ES only for pre_sigma_sq >= 0.55 (`relative-change-NEW.R:186-187`
+    # slices [6:]) where the MC estimate is stable; reproduce that window.
+    es_var = es_var_error_curve(key, pre_var)
+    plots.sensitivity_plot(
+        axes[1, 2], norm_var_err[5:],
+        {"ES": es_var[5:]},
+        xlabel="normalized variance error", title="ES: variance error")
+    dss_fam = dss_correlation_family(key, true_rhos, range_corr)
+    plots.sensitivity_plot(
+        axes[2, 0], range_corr,
+        {f"rho = {r}": dss_fam[i] for i, r in enumerate(true_rhos)},
+        xlabel="predictive correlation", title="DSS: correlation error")
+    es_fam = es_correlation_family(key, true_rhos, range_corr, num_sim=64)
+    plots.sensitivity_plot(
+        axes[2, 1], range_corr,
+        {f"rho = {r}": es_fam[i] for i, r in enumerate(true_rhos)},
+        xlabel="predictive correlation", title="ES: correlation error")
+    axes[2, 2].axis("off")
     plots.save_figure(fig, os.path.join(args.outdir, "sensitivity_curves.png"))
     plt.close(fig)
     print("wrote sensitivity_curves.png")

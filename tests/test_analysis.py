@@ -9,7 +9,13 @@ from gpscore.analysis import (
     crps_illustration,
     crps_mean_error_curve,
     dss_correlation_curve,
+    dss_correlation_family,
+    dss_mean_error_curve,
+    dss_var_error_curve,
+    es_correlation_family,
     es_correlation_curve,
+    es_mean_error_curve,
+    es_var_error_curve,
     objective_surface,
 )
 from gpscore.data import sample_synthetic_1d
@@ -79,6 +85,64 @@ def test_es_correlation_curve_runs():
         es_correlation_curve(jax.random.PRNGKey(2), 0.4, rhos, num_data=50, num_sim=32)
     )
     assert np.isfinite(c).all()
+
+
+def test_dss_mean_error_curve_minimized_at_truth():
+    """`relative-change-NEW.R:105-115`: DSS relative change is ~0 and minimal
+    at zero mean error (truth mu=0)."""
+    mus = jnp.linspace(-3.0, 3.0, 13)
+    c = np.asarray(dss_mean_error_curve(jax.random.PRNGKey(3), mus, num_data=400))
+    assert np.isfinite(c).all()
+    assert abs(float(mus[c.argmin()])) < 0.6
+    assert abs(float(c[np.argmin(np.abs(np.asarray(mus)))])) < 0.1
+
+
+def test_dss_var_error_curve_minimized_at_truth():
+    """`relative-change-NEW.R:118-128`: minimum near k = true_sigma_sq = 1."""
+    ks = jnp.concatenate([jnp.linspace(0.25, 1.0, 6), jnp.linspace(1.5, 6.0, 6)])
+    c = np.asarray(dss_var_error_curve(jax.random.PRNGKey(4), ks, num_data=600))
+    assert np.isfinite(c).all()
+    assert 0.5 < float(ks[c.argmin()]) < 2.0
+
+
+def test_es_mean_error_curve_minimized_at_truth():
+    """`relative-change-NEW.R:165-175` (R-style L1 energy score)."""
+    mus = jnp.linspace(-3.0, 3.0, 7)
+    c = np.asarray(
+        es_mean_error_curve(jax.random.PRNGKey(5), mus, num_data=100, num_sim=64)
+    )
+    assert np.isfinite(c).all()
+    assert abs(float(mus[c.argmin()])) < 1.1
+
+
+def test_es_var_error_curve_minimized_near_truth():
+    """`relative-change-NEW.R:178-188`."""
+    ks = jnp.array([0.25, 0.5, 1.0, 2.0, 4.0, 8.0])
+    c = np.asarray(
+        es_var_error_curve(jax.random.PRNGKey(6), ks, num_data=150, num_sim=64)
+    )
+    assert np.isfinite(c).all()
+    assert 0.4 < float(ks[c.argmin()]) < 2.5
+
+
+def test_correlation_families_zero_at_each_truth():
+    """`relative-change-NEW.R:137-144,196-203`: each family row is a relative
+    change normalized at its own truth, so it crosses ~0 at rho = true_rho."""
+    true_rhos = [0.2, 0.6]
+    rr = jnp.arange(0.0, 0.95, 0.1)
+    dfam = np.asarray(
+        dss_correlation_family(jax.random.PRNGKey(7), true_rhos, rr, num_data=400)
+    )
+    efam = np.asarray(
+        es_correlation_family(
+            jax.random.PRNGKey(8), true_rhos, rr, num_data=60, num_sim=32
+        )
+    )
+    assert dfam.shape == efam.shape == (2, len(rr))
+    assert np.isfinite(dfam).all() and np.isfinite(efam).all()
+    for i, tr in enumerate(true_rhos):
+        j = int(np.argmin(np.abs(np.asarray(rr) - tr)))
+        assert abs(dfam[i, j]) < 0.02, (i, dfam[i])
 
 
 def test_crps_illustration_area_matches_closed_form():
