@@ -18,6 +18,17 @@ from gpscore.fit.train import fit_gd
 from gpscore.utils.params import GPParams
 
 
+def default_sweep_keys(num_restarts: int):
+    """[R] per-restart PRNG keys: fold_in(PRNGKey(0), i).
+
+    Single source of truth for BOTH sweep paths — sharded and unsharded sweeps
+    must produce identical results under default keys for the parity claim
+    between them to hold."""
+    return jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i))(
+        jax.numpy.arange(num_restarts)
+    )
+
+
 def restart_sweep(
     loss_fn,
     params_batch: GPParams,
@@ -35,9 +46,7 @@ def restart_sweep(
     """
     R = jax.tree.leaves(params_batch)[0].shape[0]
     if keys is None:
-        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i))(
-            jax.numpy.arange(R)
-        )
+        keys = default_sweep_keys(R)
 
     def one(p, k):
         return fit_gd(loss_fn, p, x, y, iters, lr, lr_inducing, key=k)
@@ -70,8 +79,5 @@ def sharded_restart_sweep(
     )
     if keys is None:
         R = jax.tree.leaves(params_batch)[0].shape[0]
-        keys = jax.device_put(
-            jax.vmap(jax.random.PRNGKey)(jax.numpy.arange(R, dtype=jax.numpy.uint32)),
-            shard,
-        )
+        keys = jax.device_put(default_sweep_keys(R), shard)
     return fn(params_batch, x, y, keys)

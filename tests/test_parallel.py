@@ -73,6 +73,74 @@ def test_sweep_output_sharding(rng):
     assert len(shard_devices) == 8
 
 
+def test_sweep_default_keys_parity(rng):
+    """Under DEFAULT keys (none passed) the sharded and unsharded sweeps must
+    agree — both derive fold_in(PRNGKey(0), i) via default_sweep_keys (round-1
+    verdict: the paths silently diverged, PRNGKey(i) vs fold_in)."""
+    mesh = make_mesh(batch=8, data=1)
+    x = jnp.asarray(rng.standard_normal((24, 1)).astype(np.float32))
+    y = jnp.sin(x[:, 0])
+    # 'es' consumes the key, so key divergence shows up in the losses.
+    loss = make_objective("es", model="exact", num_sim=16)
+    pb = _params_batch(8)
+    want = restart_sweep(loss, pb, x, y, iters=3, lr=0.05)
+    got = sharded_restart_sweep(loss, pb, x, y, iters=3, lr=0.05, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got.loss_history), np.asarray(want.loss_history), atol=1e-5
+    )
+
+
+def test_mixed_mesh_sharded_gram(rng):
+    """batch>1 AND data>1: the 'data'-axis shard_map must be batch-invariant."""
+    mesh = make_mesh(batch=2, data=4)
+    x = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    got = sharded_gram(x, 0.2, jnp.zeros(3), mesh)
+    want = ard_gram(x, x, 0.2, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_mixed_mesh_sharded_cholesky(rng):
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+
+    mesh = make_mesh(batch=2, data=4)
+    n = 128
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / n + 3.0 * np.eye(n, dtype=np.float32))
+    L = sharded_cholesky(A, mesh, block=32)
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(jnp.linalg.cholesky(A)), atol=5e-3, rtol=2e-3
+    )
+
+
+def test_mixed_mesh_sharded_restart_sweep(rng):
+    """Restarts sharded over 'batch' while 'data' exists: 4x2-mesh coverage of
+    the dryrun's mesh shape inside pytest."""
+    mesh = make_mesh(batch=4, data=2)
+    x = jnp.asarray(rng.standard_normal((24, 1)).astype(np.float32))
+    y = jnp.sin(x[:, 0])
+    loss = make_objective("crps", model="exact")
+    pb = _params_batch(8)
+    want = restart_sweep(loss, pb, x, y, iters=4, lr=0.3)
+    got = sharded_restart_sweep(loss, pb, x, y, iters=4, lr=0.3, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got.loss_history), np.asarray(want.loss_history), atol=1e-5
+    )
+
+
+def test_sharded_cholesky_default_block_n2048(rng):
+    """Executes the DEFAULT block=256 panel path (n=2048 / 8 devices ->
+    rows_per_device = 256 = block), which no toy-scale test reaches."""
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 2048
+    X = rng.standard_normal((n, n)).astype(np.float32)
+    A = jnp.asarray(X @ X.T / n + 4.0 * np.eye(n, dtype=np.float32))
+    L = sharded_cholesky(A, mesh)  # block defaults to 256
+    want = jnp.linalg.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(want), atol=2e-2, rtol=5e-3)
+
+
 def test_sharded_loo_value_and_grad_matches_single_device(rng):
     from gpscore.parallel import sharded_loo_value_and_grad
 
