@@ -9,6 +9,7 @@ and every random draw has an explicit key.
 
 from __future__ import annotations
 
+import inspect
 import json
 import time
 from typing import Callable, Dict, Optional
@@ -115,21 +116,30 @@ def run_sweep(
     stacked = tuple(
         jnp.stack([jnp.asarray(d_[i]) for d_ in data]) for i in range(4)
     )
+    # The reference re-initializes with a DIFFERENT policy per objective
+    # section (`kin40k-FULL-compare.py:226-233` all-random for CRPS vs
+    # `:321-324` unit scalars elsewhere): a make_params with a ``rule``
+    # parameter receives the current rule; two-arg callables keep one policy.
+    takes_rule = "rule" in inspect.signature(make_params).parameters
     results: Dict[str, Dict[str, float]] = {}
     for rule in rules:
         sched = schedules[rule]
         t0 = time.time()
+        if takes_rule:
+            mp = lambda key, d, _r=rule: make_params(key, d, rule=_r)
+        else:
+            mp = make_params
 
         if segment_iters and segment_iters < sched.iters:
             metrics, ok, fitted = _segmented_rule_sweep(
-                rule, model, sched, make_params, stacked, replicates, d,
+                rule, model, sched, mp, stacked, replicates, d,
                 kernel, fold_k, num_sim, seed, segment_iters,
             )
         else:
 
             def one(j, tx, ty, sx, sy):
                 key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
-                params0 = make_params(key, d)
+                params0 = mp(key, d)
                 metrics, res = fit_and_eval(
                     rule, model, sched, params0, tx, ty, sx, sy,
                     key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,

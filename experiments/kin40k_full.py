@@ -19,13 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
 from experiments.common import run_sweep, save_results
 from gpscore.data import kin40k_replicate_split, load_kin40k
 from gpscore.fit.schedules import SCHEDULES, rules_for
-from gpscore.utils.params import GPParams
+from gpscore.utils.params import init_rand_params
 
 
 def main(argv=None):
@@ -70,17 +67,13 @@ def main(argv=None):
         )
         return s.train_x, s.train_y, s.test_x, s.test_y
 
-    def make_params(key, d):
-        # CRPS section: all-random init; other sections fix scalars at 1.0.
-        # We use the all-random variant uniformly (documented deviation: one init
-        # policy across rules keeps the sweep vmappable in a single program).
-        k_l, _ = jax.random.split(key)
-        return GPParams(
-            log_signal_sq=jnp.ones(()),
-            log_length=jax.random.uniform(k_l, (d,)),
-            log_noise_sq=jnp.ones(()),
-            inducing=None,
-        )
+    def make_params(key, d, rule):
+        # Reference per-section inits: CRPS uses all-random scalars
+        # (`kin40k-FULL-compare.py:226-233`); NLML/logs/DSS/ES/interval use
+        # random para_l with UNIT scalars (`:321-324`). Init differs across
+        # rules, never within one rule's sweep, so each rule stays one
+        # vmapped program.
+        return init_rand_params(key, d, unit_scalars=(rule != "crps"))
 
     schedules = {}
     for r in args.rules:

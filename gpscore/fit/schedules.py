@@ -47,6 +47,15 @@ SCHEDULES = {
     ("kin40k_fitc", "logs"): Schedule("logs", 3000, 0.2, 0.2),
     ("kin40k_fitc", "dss"): Schedule("dss", 3000, 0.001, 0.001),
     ("kin40k_fitc", "kc"): Schedule("kc", 3000, 0.1, 0.1),
+    # Interval score: a framework addition (BASELINE.json north star), absent
+    # from the reference, so these schedules have no citation. The interval
+    # score is ~2q*sigma + (2/alpha)*exceedances — same units as CRPS but with
+    # gradients ~an order of magnitude larger at alpha=0.05, hence CRPS's
+    # iteration counts with lr = crps_lr / 10 (verified to converge on the
+    # synthetic and KIN40K stand-in sweeps; see RESULTS.md).
+    ("simple_full", "interval"): Schedule("interval", 250, 0.1),
+    ("kin40k_full", "interval"): Schedule("interval", 400, 0.1),
+    ("kin40k_fitc", "interval"): Schedule("interval", 2000, 0.1, 0.1),
 }
 
 

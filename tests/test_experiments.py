@@ -61,3 +61,49 @@ def test_segmented_sweep_stochastic_rule_runs(rng):
                     num_sim=16)
     assert out["es"]["num_failed"] == 0
     assert np.isfinite(out["es"]["crps"])
+
+
+def test_per_rule_make_params_receives_rule(rng):
+    """A make_params with a ``rule`` parameter gets the current rule — the
+    mechanism for the reference's per-section init policies
+    (`kin40k-FULL-compare.py:226-233` vs `:321-324`)."""
+    make_data, _ = _setup(rng)
+    seen = []
+
+    def make_params(key, d, rule):
+        seen.append(rule)
+        unit = 1.0 if rule != "crps" else 0.5
+        return GPParams(
+            log_signal_sq=jnp.full((), unit),
+            log_length=jax.random.uniform(key, (d,)),
+            log_noise_sq=jnp.full((), unit),
+            inducing=None,
+        )
+
+    sched = {"crps": Schedule("crps", iters=2, lr=0.5),
+             "logs": Schedule("logs", iters=2, lr=0.05)}
+    out = run_sweep(["crps", "logs"], "exact", sched, make_data, make_params,
+                    replicates=2, d=2, verbose=False)
+    assert set(seen) == {"crps", "logs"}
+    assert out["crps"]["num_failed"] == out["logs"]["num_failed"] == 0
+
+
+def test_interval_schedules_registered():
+    """The interval objective is first-class: schedule entries exist and the
+    drivers expose it via --rules (BASELINE.json north star)."""
+    from gpscore.fit.schedules import get_schedule, rules_for
+
+    for exp in ("simple_full", "kin40k_full", "kin40k_fitc"):
+        s = get_schedule(exp, "interval")
+        assert s.rule == "interval" and s.iters > 0 and s.lr > 0
+        assert "interval" in rules_for(exp)
+
+
+def test_interval_objective_fits_synthetic(rng):
+    """A short interval-score fit descends and stays finite."""
+    make_data, make_params = _setup(rng)
+    sched = {"interval": Schedule("interval", iters=10, lr=0.1)}
+    out = run_sweep(["interval"], "exact", sched, make_data, make_params,
+                    replicates=1, d=2, verbose=False)
+    assert out["interval"]["num_failed"] == 0
+    assert np.isfinite(out["interval"]["crps"])
