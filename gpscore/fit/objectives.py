@@ -35,6 +35,10 @@ from gpscore.scoring import rules
 
 OBJECTIVE_RULES = ("crps", "logs", "nlml", "dss", "es", "kc", "interval")
 
+# Above this n, exact-model ARD LOO objectives use the fused Gram+solve core
+# (gpscore.ops.loo_fused): identical math, ~2 n^2 peak HBM instead of ~4 n^2.
+_FUSED_LOO_MIN_N = 8192
+
 
 def make_objective(
     rule: str,
@@ -57,6 +61,8 @@ def make_objective(
 
     def _loo(params, x, y):
         if model == "exact":
+            if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
+                return exact_mod.loo_exact_fused(x, y, params)
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.loo_exact(k_ff, y, params.noise_sq)
         return fitc_mod.loo_fitc(

@@ -83,6 +83,22 @@ def loo_exact(k_ff, y, noise_sq) -> Gaussian:
     return Gaussian(mean, var)
 
 
+def loo_exact_fused(x, y, params) -> Gaussian:
+    """LOO predictive via the fused ARD-Gram + solve core
+    (:mod:`gpscore.ops.loo_fused`): same identities as :func:`loo_exact`, but
+    the Gram never persists as an autodiff residual and the backward streams
+    the kernel contraction — peak live set ~2 n^2 instead of ~4 n^2, which is
+    what lets a single chip take n = 30k (the reference caps at n = 500,
+    `kin40k-FULL-compare.py:196`)."""
+    from gpscore.ops.loo_fused import ard_loo_solve_diag
+
+    y = y.reshape(x.shape[0])
+    kinv_y, kinv_diag = ard_loo_solve_diag(
+        params.log_signal_sq, params.log_length, params.log_noise_sq, x, y
+    )
+    return Gaussian(y - kinv_y / kinv_diag, 1.0 / kinv_diag)
+
+
 def _kfold_blocks(k_ff, y, noise_sq, fold_k: int):
     """Shared k-fold preamble: diagonal blocks A_b = [K_hat^-1]_bb (batched
     [k, nb, nb] via reshape, no python loop), fold targets y_b, and

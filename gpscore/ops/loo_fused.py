@@ -1,0 +1,156 @@
+"""Fused ARD-Gram + LOO solve core for the large-n dense path.
+
+The composed objective ``params -> K -> (K_hat^-1 y, diag K_hat^-1) -> score``
+built from :func:`gpscore.ops.kernels.gram` + :func:`gpscore.ops.linalg.
+loo_solve_diag` holds, across a value_and_grad, FOUR n^2 fp32 buffers at peak:
+the Gram K (kept as the kernel's autodiff residual), K^-1 (the solve core's
+residual), the materialized cotangent K_bar, and a matmul temp. At n = 30k
+that is ~14.4 GB — beyond one v5e chip (measured round-1 ceiling: n = 20k).
+
+This module fuses the whole segment into ONE custom-VJP function so the
+residual set is chosen by hand:
+
+- forward: K_hat is built (Pallas Gram for large n), factored, and inverted —
+  then *discarded*; only (K^-1, a) are saved. Peak live set: 2 n^2.
+- backward: the parameter gradient is the contraction
+      theta_bar = sum_ij K_hat_bar_ij * dK_hat_ij/dtheta,
+      K_hat_bar = -(K^-1 a_bar) a^T - K^-1 diag(d_bar) K^-1,
+  which streams over ROW BLOCKS: each block recomputes its Gram rows from x
+  (O(nb n d), trivial), forms its K_hat_bar rows (the one O(n^2 nb) GEMM —
+  summed over blocks this is the same n^3 GEMM the unfused path does), and
+  reduces into the O(d) parameter gradient. Neither K_bar nor K is ever
+  materialized: peak live set n^2 + O(block * n).
+
+The ARD chain rule, with z = x * exp(-log_length) the scaled inputs and
+C = K_hat_bar ∘ K (elementwise):
+
+    dK_ij/dlog_signal_sq = K_ij
+    dK_ij/dlog_length_k  = K_ij (z_ik - z_jk)^2
+    dK_hat_ii/dlog_noise = exp(log_noise_sq)
+
+    log_signal_bar = sum(C)
+    log_length_bar_k = sum_i r_i z_ik^2 + sum_j c_j z_jk^2 - 2 sum_i z_ik (Cz)_ik
+                       (r/c = row/col sums of C — the expand-and-subtract
+                        trick applied to the *gradient* contraction)
+    log_noise_bar  = exp(log_noise_sq) * trace(K_hat_bar)
+
+Replaces the reference's O(n^3)-per-iteration dense CPU LOO that caps it at
+n = 500 (`kin40k-FULL-compare.py:196,209`); selected automatically by
+``make_objective`` for exact-model ARD LOO objectives at large n.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.ops import linalg
+from gpscore.ops.block_cholesky import tri_inverse_lower
+from gpscore.ops.kernels import ard_gram, gram
+from gpscore.utils.precision import matmul
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
+                       block: int = 2048):
+    """(a, d) = (K_hat^-1 y, diag K_hat^-1) for K_hat = K_ard(x) + noise_sq I,
+    differentiable w.r.t. the three log-hyperparameters and y (x is data;
+    its cotangent is zero). ``block`` is the backward streaming row-block."""
+    a, d, _ = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
+    return a, d
+
+
+def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
+    n = x.shape[0]
+    K = gram(x, x, log_signal_sq, log_length, kind="ard")
+    K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
+    L = linalg.chol_factor(K_hat)
+    Linv = tri_inverse_lower(L)
+    Kinv = matmul(Linv.T, Linv)
+    a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+    d = jnp.diagonal(Kinv)
+    return a, d, Kinv
+
+
+def _fwd(log_signal_sq, log_length, log_noise_sq, x, y, block):
+    a, d, Kinv = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
+    return (a, d), (Kinv, a, log_signal_sq, log_length, log_noise_sq, x)
+
+
+def _bwd(block, res, cot):
+    Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+    a_bar, d_bar = cot
+    n = a.shape[0]
+    d_dim = x.shape[1]
+    dtype = Kinv.dtype
+
+    w = matmul(Kinv, a_bar.reshape(n, 1))[:, 0]
+    y_bar = w
+    z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
+
+    nb = min(block, n)
+    n_full = (n // nb) * nb
+
+    def body(carry, xs):
+        s_acc, r_acc, c_acc, x_acc, t_acc = carry
+        Kinv_b, w_b, x_b, z_b, off = xs
+        s_b, r_t, c_b, cr, tr = _block(Kinv_b, w_b, x_b, z_b, off, nb)
+        return (s_acc + s_b, r_acc + r_t, c_acc + c_b, x_acc + cr,
+                t_acc + tr), None
+
+    def _block(Kinv_b, w_b, x_b, z_b, off, size):
+        Kb_hat_bar = -matmul(w_b.reshape(size, 1), a.reshape(1, n)) - matmul(
+            Kinv_b * d_bar[None, :], Kinv
+        )
+        K_b = ard_gram(x_b, x, log_signal_sq, log_length)
+        C_b = Kb_hat_bar * K_b
+        s_b = jnp.sum(C_b)
+        r_b = jnp.sum(C_b, axis=1)
+        c_b = jnp.sum(C_b, axis=0)
+        r_t = jnp.sum(r_b[:, None] * (z_b * z_b), axis=0)
+        cr = jnp.sum(z_b * matmul(C_b, z), axis=0)
+        off = jnp.asarray(off, jnp.int32)
+        diag_seg = jax.lax.dynamic_slice(
+            Kb_hat_bar, (jnp.zeros((), jnp.int32), off), (size, size)
+        )
+        return s_b, r_t, c_b, cr, jnp.trace(diag_seg)
+
+    init = (
+        jnp.zeros((), dtype),
+        jnp.zeros((d_dim,), dtype),
+        jnp.zeros((n,), dtype),
+        jnp.zeros((d_dim,), dtype),
+        jnp.zeros((), dtype),
+    )
+    if n_full:
+        k = n_full // nb
+        xs = (
+            Kinv[:n_full].reshape(k, nb, n),
+            w[:n_full].reshape(k, nb),
+            x[:n_full].reshape(k, nb, d_dim),
+            z[:n_full].reshape(k, nb, d_dim),
+            jnp.arange(k, dtype=jnp.int32) * nb,
+        )
+        (s_acc, r_acc, c_acc, x_acc, t_acc), _ = jax.lax.scan(body, init, xs)
+    else:
+        s_acc, r_acc, c_acc, x_acc, t_acc = init
+    if n_full < n:  # static remainder block
+        tail = n - n_full
+        s_b, r_t, c_b, cr, tr = _block(
+            Kinv[n_full:], w[n_full:], x[n_full:], z[n_full:],
+            jnp.int32(n_full), tail,
+        )
+        s_acc, r_acc, c_acc = s_acc + s_b, r_acc + r_t, c_acc + c_b
+        x_acc, t_acc = x_acc + cr, t_acc + tr
+
+    log_length_bar = r_acc + matmul(c_acc.reshape(1, n), z * z)[0] - 2.0 * x_acc
+    log_signal_bar = s_acc
+    log_noise_bar = jnp.exp(log_noise_sq) * t_acc
+    log_length_bar = jnp.reshape(log_length_bar, jnp.shape(log_length))
+    return (log_signal_bar, log_length_bar, log_noise_bar,
+            jnp.zeros_like(x), y_bar)
+
+
+ard_loo_solve_diag.defvjp(_fwd, _bwd)

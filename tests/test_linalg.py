@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.linalg import cho_factor, cho_solve
 
 from gpscore.ops import linalg
@@ -205,3 +206,69 @@ def test_kfold_solve_blocks_custom_vjp_matches_autodiff(rng):
     a4, d4 = linalg.loo_solve_diag(K, y)
     np.testing.assert_allclose(np.asarray(a3), np.asarray(a4), atol=1e-5)
     np.testing.assert_allclose(np.asarray(A3).ravel(), np.asarray(d4), atol=1e-5)
+
+
+class TestFusedLooCore:
+    """gpscore.ops.loo_fused: fused ARD-Gram + LOO solve custom VJP."""
+
+    def _setup(self, rng, n=96, d=3):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        s = jnp.float32(0.3)
+        ell = jnp.asarray((rng.standard_normal(d) * 0.3).astype(np.float32))
+        nu = jnp.float32(-1.2)
+        return x, y, s, ell, nu
+
+    @pytest.mark.parametrize("block", [32, 37, 96, 2048])
+    def test_value_and_grad_match_unfused(self, rng, block):
+        """Fused core == gram + loo_solve_diag to fp32 contraction noise, for
+        divisible, non-divisible (tail), single-block, and block>n cases."""
+        import jax.numpy as jnp
+
+        from gpscore.ops.kernels import ard_gram
+        from gpscore.ops.loo_fused import ard_loo_solve_diag
+        from gpscore.scoring.rules import crps_gaussian
+
+        x, y, s, ell, nu = self._setup(rng)
+        n = x.shape[0]
+
+        def loss_fused(s, ell, nu, y):
+            a, d = ard_loo_solve_diag(s, ell, nu, x, y, block)
+            return crps_gaussian(y - a / d, 1.0 / d, y)
+
+        def loss_ref(s, ell, nu, y):
+            K = ard_gram(x, x, s, ell)
+            a, d = linalg.loo_solve_diag(K + jnp.exp(nu) * jnp.eye(n), y)
+            return crps_gaussian(y - a / d, 1.0 / d, y)
+
+        vf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-6)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
+            )
+
+    def test_objective_dispatch_uses_fused_path(self, rng, monkeypatch):
+        """make_objective switches to the fused core above the threshold with
+        identical loss and gradients."""
+        import jax.numpy as jnp
+
+        import gpscore.fit.objectives as obj
+        from gpscore.fit import make_objective
+        from gpscore.utils.params import GPParams
+
+        x, y, s, ell, nu = self._setup(rng, n=64, d=2)
+        p = GPParams(s, ell[:2], nu)
+        loss = make_objective("crps", model="exact")
+        want_v, want_g = jax.value_and_grad(loss)(p, x, y, None)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        loss_fused = make_objective("crps", model="exact")
+        got_v, got_g = jax.value_and_grad(loss_fused)(p, x, y, None)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
+            )
