@@ -76,6 +76,8 @@ def make_objective(
         # the fold precision is diagonal-minus-low-rank, dropping fold costs to
         # O(nb m + m^3) (kfold_fitc_lowrank).
         if model == "exact":
+            if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
+                return exact_mod.kfold_exact_precision_fused(x, y, params, fold_k)
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
         return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)

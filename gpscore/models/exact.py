@@ -158,6 +158,26 @@ def kfold_exact_precision(k_ff, y, noise_sq, fold_k: int) -> PrecisionGaussian:
     return PrecisionGaussian(mean, La)
 
 
+def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
+    """k-fold block conditionals in precision form via the fused ARD-Gram +
+    k-fold solve core (:mod:`gpscore.ops.loo_fused`): same math as
+    :func:`kfold_exact_precision`, ~2 n^2 peak HBM instead of ~4 n^2 across a
+    value_and_grad — the large-n path for the DSS/ES/kc objectives."""
+    from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+
+    n = x.shape[0]
+    y = y.reshape(n)
+    a, A = ard_kfold_solve_blocks(
+        params.log_signal_sq, params.log_length, params.log_noise_sq,
+        x, y, fold_k,
+    )
+    nb = n // fold_k
+    La = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
+    solve = jax.vmap(linalg.chol_solve_from_factor)
+    mean = y.reshape(fold_k, nb) - solve(La, a.reshape(fold_k, nb, 1))[..., 0]
+    return PrecisionGaussian(mean, La)
+
+
 def nlml_exact(k_ff, y, noise_sq):
     """Negative log marginal likelihood (reference inline,
     `SIMPLE-DATA FULL-comapre.py:292-296`):

@@ -1,21 +1,23 @@
-"""Fused ARD-Gram + LOO solve core for the large-n dense path.
+"""Fused ARD-Gram + solve cores for the large-n dense path (LOO and k-fold).
 
-The composed objective ``params -> K -> (K_hat^-1 y, diag K_hat^-1) -> score``
-built from :func:`gpscore.ops.kernels.gram` + :func:`gpscore.ops.linalg.
-loo_solve_diag` holds, across a value_and_grad, FOUR n^2 fp32 buffers at peak:
-the Gram K (kept as the kernel's autodiff residual), K^-1 (the solve core's
-residual), the materialized cotangent K_bar, and a matmul temp. At n = 30k
-that is ~14.4 GB — beyond one v5e chip (measured round-1 ceiling: n = 20k).
+The composed objective ``params -> K -> solve core -> score`` built from
+:func:`gpscore.ops.kernels.gram` + :func:`gpscore.ops.linalg.loo_solve_diag`
+(or ``kfold_solve_blocks``) holds, across a value_and_grad, FOUR n^2 fp32
+buffers at peak: the Gram K (kept as the kernel's autodiff residual), K^-1
+(the solve core's residual), the materialized cotangent K_bar, and a matmul
+temp. At n = 30k that is ~14.4 GB — beyond one v5e chip (measured round-1
+ceiling: n = 20k).
 
-This module fuses the whole segment into ONE custom-VJP function so the
-residual set is chosen by hand:
+This module fuses each segment into ONE custom-VJP function so the residual
+set is chosen by hand:
 
 - forward: K_hat is built (Pallas Gram for large n), factored, and inverted —
   then *discarded*; only (K^-1, a) are saved. Peak live set: 2 n^2.
 - backward: the parameter gradient is the contraction
       theta_bar = sum_ij K_hat_bar_ij * dK_hat_ij/dtheta,
-      K_hat_bar = -(K^-1 a_bar) a^T - K^-1 diag(d_bar) K^-1,
-  which streams over ROW BLOCKS: each block recomputes its Gram rows from x
+      K_hat_bar = -(K^-1 a_bar) a^T - K^-1 S(cot) K^-1
+  with S(cot) = diag(d_bar) for LOO and blockdiag(A_bar) for k-fold. It
+  streams over ROW BLOCKS: each block recomputes its Gram rows from x
   (O(nb n d), trivial), forms its K_hat_bar rows (the one O(n^2 nb) GEMM —
   summed over blocks this is the same n^3 GEMM the unfused path does), and
   reduces into the O(d) parameter gradient. Neither K_bar nor K is ever
@@ -34,9 +36,9 @@ C = K_hat_bar ∘ K (elementwise):
                         trick applied to the *gradient* contraction)
     log_noise_bar  = exp(log_noise_sq) * trace(K_hat_bar)
 
-Replaces the reference's O(n^3)-per-iteration dense CPU LOO that caps it at
-n = 500 (`kin40k-FULL-compare.py:196,209`); selected automatically by
-``make_objective`` for exact-model ARD LOO objectives at large n.
+Replaces the reference's O(n^3)-per-iteration dense CPU LOO/k-fold that caps
+it at n = 500 (`kin40k-FULL-compare.py:196,209,507`); selected automatically
+by ``make_objective`` for exact-model ARD objectives at large n.
 """
 
 from __future__ import annotations
@@ -49,20 +51,12 @@ import jax.numpy as jnp
 from gpscore.ops import linalg
 from gpscore.ops.block_cholesky import tri_inverse_lower
 from gpscore.ops.kernels import ard_gram, gram
-from gpscore.utils.precision import matmul
+from gpscore.utils.precision import MM_PRECISION, matmul
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
-                       block: int = 2048):
-    """(a, d) = (K_hat^-1 y, diag K_hat^-1) for K_hat = K_ard(x) + noise_sq I,
-    differentiable w.r.t. the three log-hyperparameters and y (x is data;
-    its cotangent is zero). ``block`` is the backward streaming row-block."""
-    a, d, _ = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
-    return a, d
-
-
-def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
+def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y):
+    """(a, Kinv) for K_hat = K_ard(x) + noise I. K_hat is dead after the
+    factorization — the callers save only Kinv."""
     n = x.shape[0]
     K = gram(x, x, log_signal_sq, log_length, kind="ard")
     K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
@@ -70,18 +64,20 @@ def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
     Linv = tri_inverse_lower(L)
     Kinv = matmul(Linv.T, Linv)
     a = matmul(Kinv, y.reshape(n, 1))[:, 0]
-    d = jnp.diagonal(Kinv)
-    return a, d, Kinv
+    return a, Kinv
 
 
-def _fwd(log_signal_sq, log_length, log_noise_sq, x, y, block):
-    a, d, Kinv = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
-    return (a, d), (Kinv, a, log_signal_sq, log_length, log_noise_sq, x)
+def _stream_param_grads(
+    Kinv, a, a_bar, make_M, x, log_signal_sq, log_length, log_noise_sq, block
+):
+    """Shared streaming backward (module docstring math).
 
+    ``make_M(Kinv_b)`` produces the rows of K^-1 S(cot) for one row block —
+    ``Kinv_b * d_bar[None, :]`` for LOO, the fold-block einsum for k-fold —
+    so K_hat_bar rows are ``-w_b a^T - make_M(Kinv_b) @ Kinv``.
 
-def _bwd(block, res, cot):
-    Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
-    a_bar, d_bar = cot
+    Returns (log_signal_bar, log_length_bar, log_noise_bar, y_bar).
+    """
     n = a.shape[0]
     d_dim = x.shape[1]
     dtype = Kinv.dtype
@@ -93,16 +89,9 @@ def _bwd(block, res, cot):
     nb = min(block, n)
     n_full = (n // nb) * nb
 
-    def body(carry, xs):
-        s_acc, r_acc, c_acc, x_acc, t_acc = carry
-        Kinv_b, w_b, x_b, z_b, off = xs
-        s_b, r_t, c_b, cr, tr = _block(Kinv_b, w_b, x_b, z_b, off, nb)
-        return (s_acc + s_b, r_acc + r_t, c_acc + c_b, x_acc + cr,
-                t_acc + tr), None
-
     def _block(Kinv_b, w_b, x_b, z_b, off, size):
         Kb_hat_bar = -matmul(w_b.reshape(size, 1), a.reshape(1, n)) - matmul(
-            Kinv_b * d_bar[None, :], Kinv
+            make_M(Kinv_b), Kinv
         )
         K_b = ard_gram(x_b, x, log_signal_sq, log_length)
         C_b = Kb_hat_bar * K_b
@@ -116,6 +105,13 @@ def _bwd(block, res, cot):
             Kb_hat_bar, (jnp.zeros((), jnp.int32), off), (size, size)
         )
         return s_b, r_t, c_b, cr, jnp.trace(diag_seg)
+
+    def body(carry, xs):
+        s_acc, r_acc, c_acc, x_acc, t_acc = carry
+        Kinv_b, w_b, x_b, z_b, off = xs
+        s_b, r_t, c_b, cr, tr = _block(Kinv_b, w_b, x_b, z_b, off, nb)
+        return (s_acc + s_b, r_acc + r_t, c_acc + c_b, x_acc + cr,
+                t_acc + tr), None
 
     init = (
         jnp.zeros((), dtype),
@@ -146,11 +142,102 @@ def _bwd(block, res, cot):
         x_acc, t_acc = x_acc + cr, t_acc + tr
 
     log_length_bar = r_acc + matmul(c_acc.reshape(1, n), z * z)[0] - 2.0 * x_acc
-    log_signal_bar = s_acc
-    log_noise_bar = jnp.exp(log_noise_sq) * t_acc
     log_length_bar = jnp.reshape(log_length_bar, jnp.shape(log_length))
-    return (log_signal_bar, log_length_bar, log_noise_bar,
-            jnp.zeros_like(x), y_bar)
+    log_noise_bar = jnp.exp(log_noise_sq) * t_acc
+    return s_acc, log_length_bar, log_noise_bar, y_bar
 
 
-ard_loo_solve_diag.defvjp(_fwd, _bwd)
+# --------------------------------------------------------------------------
+# LOO: (a, d) = (K_hat^-1 y, diag K_hat^-1)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
+                       block: int = 2048):
+    """(a, d) = (K_hat^-1 y, diag K_hat^-1) for K_hat = K_ard(x) + noise_sq I,
+    differentiable w.r.t. the three log-hyperparameters and y (x is data;
+    its cotangent is zero). ``block`` is the backward streaming row-block."""
+    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
+    return a, jnp.diagonal(Kinv)
+
+
+def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block):
+    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
+    return (a, jnp.diagonal(Kinv)), (
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x
+    )
+
+
+def _loo_bwd(block, res, cot):
+    Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+    a_bar, d_bar = cot
+    s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
+        Kinv, a, a_bar, lambda Kinv_b: Kinv_b * d_bar[None, :],
+        x, log_signal_sq, log_length, log_noise_sq, block,
+    )
+    return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+
+
+ard_loo_solve_diag.defvjp(_loo_fwd, _loo_bwd)
+
+
+# --------------------------------------------------------------------------
+# k-fold: (a, A) = (K_hat^-1 y, stacked diagonal blocks [K_hat^-1]_bb)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ard_kfold_solve_blocks(log_signal_sq, log_length, log_noise_sq, x, y,
+                           fold_k: int, block: int = 2048):
+    """Fused Gram + k-fold solve: the large-n counterpart of
+    :func:`gpscore.ops.linalg.kfold_solve_blocks` (reference fold conditionals,
+    `kin40k-FULL-compare.py:507-530`). Requires n % fold_k == 0.
+
+    The k-fold cotangent is A_bar [fold_k, nfold, nfold]; its K_hat_bar term
+    -K^-1 blockdiag(A_bar) K^-1 streams per row block as
+    einsum('sfi,fij->sfj') over the fold columns of K^-1's rows.
+    """
+    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
+    return a, _diag_blocks(Kinv, fold_k)
+
+
+def _diag_blocks(Kinv, fold_k: int):
+    n = Kinv.shape[-1]
+    if n % fold_k:
+        raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
+    nf = n // fold_k
+    return jnp.stack([
+        jax.lax.dynamic_slice(Kinv, (b * nf, b * nf), (nf, nf))
+        for b in range(fold_k)
+    ])
+
+
+def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block):
+    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
+    return (a, _diag_blocks(Kinv, fold_k)), (
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x
+    )
+
+
+def _kfold_bwd(fold_k, block, res, cot):
+    Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+    a_bar, A_bar = cot
+    n = a.shape[0]
+    nf = n // fold_k
+
+    def make_M(Kinv_b):
+        size = Kinv_b.shape[0]
+        # rows of K^-1 blockdiag(A_bar): per fold f, Kinv_b[:, cols_f] @ A_bar_f
+        folded = Kinv_b.reshape(size, fold_k, nf)
+        M = jnp.einsum("sfi,fij->sfj", folded, A_bar, precision=MM_PRECISION)
+        return M.reshape(size, n)
+
+    s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
+        Kinv, a, a_bar, make_M,
+        x, log_signal_sq, log_length, log_noise_sq, block,
+    )
+    return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+
+
+ard_kfold_solve_blocks.defvjp(_kfold_fwd, _kfold_bwd)

@@ -272,3 +272,75 @@ class TestFusedLooCore:
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-6
             )
+
+
+class TestFusedKfoldCore:
+    """gpscore.ops.loo_fused.ard_kfold_solve_blocks."""
+
+    @pytest.mark.parametrize("block", [32, 37, 2048])
+    def test_value_and_grad_match_unfused(self, rng, block):
+        import jax.numpy as jnp
+
+        from gpscore.ops.kernels import ard_gram
+        from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+
+        n, d, fk = 96, 3, 4
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        s = jnp.float32(0.3)
+        ell = jnp.asarray((rng.standard_normal(d) * 0.3).astype(np.float32))
+        nu = jnp.float32(-1.2)
+
+        def obj_fused(s, ell, nu, y):
+            a, A = ard_kfold_solve_blocks(s, ell, nu, x, y, fk, block)
+            return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(A))
+
+        def obj_ref(s, ell, nu, y):
+            K = ard_gram(x, x, s, ell)
+            a, A = linalg.kfold_solve_blocks(K + jnp.exp(nu) * jnp.eye(n), y, fk)
+            return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(A))
+
+        vf, gf = jax.value_and_grad(obj_fused, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        vr, gr = jax.value_and_grad(obj_ref, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-6)
+        for a_, b_ in zip(gf, gr):
+            # atol floors fp32 contraction-order noise on near-zero entries
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=5e-6
+            )
+
+    @pytest.mark.parametrize("rule", ["dss", "kc"])
+    def test_kfold_objective_dispatch(self, rng, monkeypatch, rule):
+        import jax.numpy as jnp
+
+        import gpscore.fit.objectives as obj
+        from gpscore.fit import make_objective
+        from gpscore.utils.params import GPParams
+
+        n, d = 64, 2
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        p = GPParams(jnp.float32(0.3), jnp.zeros(d), jnp.float32(-1.0))
+        loss = make_objective(rule, model="exact")
+        want_v, want_g = jax.value_and_grad(loss)(p, x, y, None)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        got_v, got_g = jax.value_and_grad(make_objective(rule, model="exact"))(
+            p, x, y, None
+        )
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    def test_rejects_indivisible_n(self, rng):
+        import jax.numpy as jnp
+
+        from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+
+        x = jnp.zeros((10, 2))
+        y = jnp.zeros((10,))
+        with pytest.raises(ValueError, match="divisible"):
+            ard_kfold_solve_blocks(
+                jnp.float32(0.0), jnp.zeros(2), jnp.float32(0.0), x, y, 4
+            )

@@ -38,8 +38,11 @@ def test_matmul_uses_highest_precision():
 
 
 def test_rules_for_lists_reference_rules():
-    assert set(rules_for("kin40k_fitc")) == {"crps", "nlml", "logs", "dss", "kc"}
-    assert set(rules_for("simple_full")) == {"crps", "nlml", "logs"}
+    # reference rules + the BASELINE.json interval-score addition
+    assert set(rules_for("kin40k_fitc")) == {
+        "crps", "nlml", "logs", "dss", "kc", "interval"
+    }
+    assert set(rules_for("simple_full")) == {"crps", "nlml", "logs", "interval"}
 
 
 def test_get_schedule_error_lists_available():
