@@ -14,7 +14,8 @@ Reference semantics reproduced exactly (two distinct length parameterizations!):
 Both use the MXU-friendly cross-term form ``2 X X'^T - |x|^2 - |x'|^2`` so the O(n^2 d)
 work is one large fp32 matmul; XLA fuses the subsequent scale/exp elementwise chain.
 A tiled Pallas implementation for HBM-resident designs lives in
-``gpscore.ops.gram_pallas`` and is selected by :func:`gram` for large problems.
+``gpscore.ops.gram_pallas``; :func:`gram` keeps the jnp form after measuring it
+equal-or-faster at every size (see the :func:`gram` docstring / BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -62,23 +63,23 @@ def kernel_diag(x, log_signal_sq):
     return jnp.full((x.shape[0],), 1.0, x.dtype) * jnp.exp(log_signal_sq)
 
 
-# Threshold above which the tiled Pallas Gram kernel beats the jnp path
-# (matmul + 2 elementwise passes) by fusing distance+scale+exp in VMEM.
-_PALLAS_MIN_N = 2048
-
-
 def gram(x, xp, log_signal_sq, log_length, *, kind: str = "ard"):
     """Kernel-dispatching Gram entry point.
 
-    Uses the fused Pallas kernel for large ARD problems on TPU, jnp otherwise.
+    Dispatches to the jnp form for both kernels: measured on v5e
+    (`experiments/bench_gram.py`, 64 back-to-back Grams per program to
+    amortize the ~30 ms tunnel dispatch, BENCH_NOTES.md), XLA's fused
+    matmul + elementwise-epilogue path matches or beats the hand-written
+    Pallas tile at every size — 1.04x slower than Pallas at n=2048 but
+    1.10x faster at 8192 and 1.22x faster at 16384, i.e. exactly the sizes
+    that matter run better through the builtin. The Pallas kernel
+    (:func:`gpscore.ops.gram_pallas.ard_gram_pallas`) is kept as an
+    independent oracle and the starting point for a future multi-chip
+    fused Gram, same verdict as the blocked Cholesky
+    (gpscore/ops/block_cholesky.py docstring).
     """
     if kind == "rbf":
         return rbf_gram(x, xp, log_signal_sq, log_length)
     if kind != "ard":
         raise ValueError(f"unknown kernel kind: {kind}")
-    n, m = x.shape[0], xp.shape[0]
-    if min(n, m) >= _PALLAS_MIN_N:
-        from gpscore.ops.gram_pallas import ard_gram_pallas
-
-        return ard_gram_pallas(x, xp, log_signal_sq, log_length)
     return ard_gram(x, xp, log_signal_sq, log_length)
