@@ -1,14 +1,17 @@
 """Batched multi-restart sweep: vmapped inits, sharded over the mesh batch axis.
 
 BASELINE.json configs[4] ("vmapped multi-restart optimization over scoring rules
-x inits ... on one pod slice"): for each requested rule, R random restarts fit as
-ONE vmapped XLA program (sharded over the mesh 'batch' axis when more than one
-device is present), then the best restart is selected by final training loss and
-evaluated on the test set. The reference has no restarts at all — one init per
-replicate, serially (`kin40k-FULL-compare.py:190,226-233`).
+x inits x inducing counts ... on one pod slice"): for each requested
+(rule, inducing count), R random restarts fit as ONE vmapped XLA program
+(sharded over the mesh 'batch' axis when more than one device is present), then
+the best restart is selected by final training loss and evaluated on the test
+set. Inducing counts change array shapes, so each count is its own compiled
+program; restarts and rules-within-a-count share compilations. The reference
+has no restarts at all — one init per replicate, serially
+(`kin40k-FULL-compare.py:190,226-233`).
 
 Usage: python experiments/multi_restart.py [--restarts 16] [--rules crps nlml]
-       [--model fitc] [--num-inducing 20] [--out results.json]
+       [--model fitc] [--num-inducing 5 10 20] [--out results.json]
 """
 
 import argparse
@@ -39,7 +42,9 @@ def main(argv=None):
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml"],
                     choices=rules_for("kin40k_fitc"))
     ap.add_argument("--model", choices=["exact", "fitc"], default="fitc")
-    ap.add_argument("--num-inducing", type=int, default=20)
+    ap.add_argument("--num-inducing", type=int, nargs="+", default=[20],
+                    help="FITC inducing counts to sweep (one compiled "
+                         "program per count; ignored for --model exact)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -52,61 +57,67 @@ def main(argv=None):
 
     keys = jax.random.split(jax.random.PRNGKey(0), R)
 
-    def init_one(k):
-        k_l, k_k, k_n, k_u = jax.random.split(k, 4)
-        return GPParams(
-            log_signal_sq=jax.random.uniform(k_k, ()),
-            log_length=jax.random.uniform(k_l, (d,)),
-            log_noise_sq=jax.random.uniform(k_n, ()),
-            inducing=(
-                jax.random.uniform(k_u, (args.num_inducing, d))
-                if args.model == "fitc"
-                else None
-            ),
-        )
+    def init_batch(num_inducing):
+        def init_one(k):
+            k_l, k_k, k_n, k_u = jax.random.split(k, 4)
+            return GPParams(
+                log_signal_sq=jax.random.uniform(k_k, ()),
+                log_length=jax.random.uniform(k_l, (d,)),
+                log_noise_sq=jax.random.uniform(k_n, ()),
+                inducing=(
+                    jax.random.uniform(k_u, (num_inducing, d))
+                    if args.model == "fitc"
+                    else None
+                ),
+            )
 
-    params_batch = jax.vmap(init_one)(keys)
+        return jax.vmap(init_one)(keys)
+
     mesh = make_mesh() if len(jax.devices()) > 1 else None
+    inducing_counts = args.num_inducing if args.model == "fitc" else [0]
 
     results = {}
-    for rule in args.rules:
-        sched = SCHEDULES[("kin40k_fitc", rule)]
-        loss = make_objective(rule, model=args.model)
-        if mesh is not None:
-            res = sharded_restart_sweep(
-                loss, params_batch, x, y, iters=sched.iters, lr=sched.lr,
-                mesh=mesh, lr_inducing=sched.lr_inducing,
-            )
-        else:
-            res = jax.jit(
-                lambda pb: restart_sweep(
-                    loss, pb, x, y, iters=sched.iters, lr=sched.lr,
-                    lr_inducing=sched.lr_inducing,
+    for m in inducing_counts:
+        params_batch = init_batch(m)
+        for rule in args.rules:
+            sched = SCHEDULES[("kin40k_fitc", rule)]
+            loss = make_objective(rule, model=args.model)
+            if mesh is not None:
+                res = sharded_restart_sweep(
+                    loss, params_batch, x, y, iters=sched.iters, lr=sched.lr,
+                    mesh=mesh, lr_inducing=sched.lr_inducing,
                 )
-            )(params_batch)
-        final_losses = np.asarray(res.loss_history[:, -1])
-        # NaN-failed restarts rank last
-        ranked = np.where(np.isfinite(final_losses), final_losses, np.inf)
-        best = int(ranked.argmin())
-        best_params = jax.tree.map(lambda a: a[best], res.params)
-        if args.model == "exact":
-            k_ff = gram(x, x, best_params.log_signal_sq, best_params.log_length)
-            k_sf = gram(sx, x, best_params.log_signal_sq, best_params.log_length)
-            k_ss = gram(sx, sx, best_params.log_signal_sq, best_params.log_length)
-            pred = exact_predictive(k_sf, k_ff, k_ss, y, best_params.noise_sq)
-        else:
-            pred = fitc_predictive(x, y, sx, best_params)
-        metrics = evaluate_predictive(pred.mean, jnp.diagonal(pred.cov), sy, y)
-        out = {f: float(getattr(metrics, f)) for f in metrics._fields}
-        out.update(
-            best_restart=best,
-            best_final_loss=float(final_losses[best]),
-            worst_final_loss=float(np.nanmax(final_losses)),
-            num_restarts=R,
-            num_failed=int((~np.isfinite(final_losses)).sum()),
-        )
-        results[rule] = out
-        print(f"[{rule}] best restart {best}: {out}", flush=True)
+            else:
+                res = jax.jit(
+                    lambda pb, loss=loss, sched=sched: restart_sweep(
+                        loss, pb, x, y, iters=sched.iters, lr=sched.lr,
+                        lr_inducing=sched.lr_inducing,
+                    )
+                )(params_batch)
+            final_losses = np.asarray(res.loss_history[:, -1])
+            # NaN-failed restarts rank last
+            ranked = np.where(np.isfinite(final_losses), final_losses, np.inf)
+            best = int(ranked.argmin())
+            best_params = jax.tree.map(lambda a: a[best], res.params)
+            if args.model == "exact":
+                k_ff = gram(x, x, best_params.log_signal_sq, best_params.log_length)
+                k_sf = gram(sx, x, best_params.log_signal_sq, best_params.log_length)
+                k_ss = gram(sx, sx, best_params.log_signal_sq, best_params.log_length)
+                pred = exact_predictive(k_sf, k_ff, k_ss, y, best_params.noise_sq)
+            else:
+                pred = fitc_predictive(x, y, sx, best_params)
+            metrics = evaluate_predictive(pred.mean, jnp.diagonal(pred.cov), sy, y)
+            out = {f: float(getattr(metrics, f)) for f in metrics._fields}
+            out.update(
+                best_restart=best,
+                best_final_loss=float(final_losses[best]),
+                worst_final_loss=float(np.nanmax(final_losses)),
+                num_restarts=R,
+                num_failed=int((~np.isfinite(final_losses)).sum()),
+            )
+            tag = f"{rule}_m{m}" if args.model == "fitc" else rule
+            results[tag] = out
+            print(f"[{tag}] best restart {best}: {out}", flush=True)
     save_results(results, args.out)
     return results
 
