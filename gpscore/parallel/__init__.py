@@ -11,6 +11,7 @@ from gpscore.parallel.sharded_kfold import (
     make_sharded_kfold_fit_step,
 )
 from gpscore.parallel.sharded_loo import (
+    make_sharded_fused_loo_fit_step,
     make_sharded_loo_fit_step,
     make_sharded_loo_solve_diag,
     sharded_loo_fit_step,
@@ -30,6 +31,7 @@ __all__ = [
     "sharded_tri_solve_lower",
     "make_sharded_kfold_blocks",
     "make_sharded_kfold_fit_step",
+    "make_sharded_fused_loo_fit_step",
     "make_sharded_loo_fit_step",
     "make_sharded_loo_solve_diag",
     "sharded_loo_fit_step",

@@ -243,6 +243,106 @@ def make_sharded_loo_fit_step(mesh: Mesh, lr: float = 1.0, axis: str = "data",
     return step
 
 
+def make_sharded_fused_loo_fit_step(
+    mesh: Mesh, lr: float = 1.0, axis: str = "data", block: int = 256,
+    rule: str = "crps",
+):
+    """Mesh-sharded version of the FUSED Gram+LOO core (gpscore.ops.loo_fused):
+    a compile-once CRPS/logs/interval-LOO gradient step where, beyond sharding
+    every n x n object over ``mesh[axis]`` like :func:`make_sharded_loo_fit_step`,
+    the residual set is hand-chosen — only K^-1 (row-sharded) survives the
+    forward, the Gram is recomputed inside the backward, and the parameter
+    cotangents come from the closed-form contraction
+    (:func:`gpscore.ops.loo_fused.ard_contraction_grads`) instead of a
+    materialized K_bar flowing through the kernel's autodiff. Per-device
+    residency drops from ~4 n^2/p to ~2 n^2/p, the same 2x capacity the fused
+    core bought single-chip (n=20k -> 36.8k; RESULTS.md).
+
+    The single-chip core streams its backward over row blocks; here the device
+    shards ARE the blocks — GSPMD row-partitions every term of the whole-matrix
+    contraction, with XLA inserting the ICI collectives.
+    """
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+    from gpscore.ops.kernels import ard_gram
+    from gpscore.ops.loo_fused import ard_contraction_grads
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.scoring.rules import crps_gaussian, interval_score, logs_gaussian
+    from gpscore.utils.precision import matmul
+
+    score = {"crps": crps_gaussian, "logs": logs_gaussian,
+             "interval": interval_score}[rule]
+    row = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
+        n = x.shape[0]
+        x = jax.lax.with_sharding_constraint(x, row)
+        K_hat = jax.lax.with_sharding_constraint(
+            ard_gram(x, x, log_signal_sq, log_length)
+            + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=x.dtype),
+            row,
+        )
+        L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
+        L = jax.lax.with_sharding_constraint(L, row)
+        Linv = tri_inverse_lower(L)
+        Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+        return a, jnp.diagonal(Kinv), Kinv
+
+    @jax.custom_vjp
+    def loo_solve(log_signal_sq, log_length, log_noise_sq, x, y):
+        a, d, _ = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
+        return a, d
+
+    def f_fwd(log_signal_sq, log_length, log_noise_sq, x, y):
+        a, d, Kinv = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
+        return (a, d), (Kinv, a, log_signal_sq, log_length, log_noise_sq, x)
+
+    def f_bwd(res, cot):
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+        a_bar, d_bar = cot
+        n = a.shape[0]
+        Kinv = jax.lax.with_sharding_constraint(Kinv, row)
+        w = matmul(Kinv, a_bar.reshape(n, 1))
+        y_bar = w[:, 0]
+        Khat_bar = jax.lax.with_sharding_constraint(
+            -matmul(w, a.reshape(1, n)) - matmul(Kinv * d_bar[None, :], Kinv),
+            row,
+        )
+        K_ref = jax.lax.with_sharding_constraint(
+            ard_gram(x, x, log_signal_sq, log_length), row
+        )
+        z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
+        s_bar, l_bar, n_bar = ard_contraction_grads(
+            Khat_bar, K_ref, z, log_length, log_noise_sq
+        )
+        return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+
+    loo_solve.defvjp(f_fwd, f_bwd)
+
+    def loss_fn(p, x, y):
+        a, d = loo_solve(p.log_signal_sq, p.log_length, p.log_noise_sq, x, y)
+        mean = y - a / d
+        var = 1.0 / d
+        return score(mean, var, y)
+
+    def step_impl(p, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        new = jax.tree.map(lambda p_, g: p_ - lr * g, p, grads)
+        return loss, new
+
+    jitted = jax.jit(step_impl, in_shardings=(repl, row, repl))
+
+    def step(params, x, y):
+        return jitted(
+            jax.device_put(params, repl),
+            jax.device_put(x, row),
+            jax.device_put(y, repl),
+        )
+
+    return step
+
+
 def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
                          axis: str = "data", block: int = 256, kernel: str = "ard"):
     """One-shot convenience wrapper around :func:`make_sharded_loo_fit_step`.
