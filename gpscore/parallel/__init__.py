@@ -7,6 +7,7 @@ from gpscore.parallel.sharded_cholesky import (
     sharded_tri_solve_lower,
 )
 from gpscore.parallel.sharded_kfold import (
+    make_sharded_fused_kfold_fit_step,
     make_sharded_kfold_blocks,
     make_sharded_kfold_fit_step,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "sharded_half_logdet",
     "sharded_nlml",
     "sharded_tri_solve_lower",
+    "make_sharded_fused_kfold_fit_step",
     "make_sharded_kfold_blocks",
     "make_sharded_kfold_fit_step",
     "make_sharded_fused_loo_fit_step",

@@ -466,3 +466,57 @@ def test_sharded_fused_loo_fit_step_mixed_mesh(rng):
     loss0, p1 = step(p, x, y)
     loss1, _ = step(p1, x, y)
     assert float(loss1) < float(loss0)
+
+
+@pytest.mark.parametrize("rule", ["dss", "kc"])
+def test_sharded_fused_kfold_fit_step_matches_objective(rng, rule):
+    """Fused-sharded k-fold step: loss + one-step param parity with the
+    single-device objective, and descent."""
+    from gpscore.parallel import make_sharded_fused_kfold_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n, lr = 128, 0.01
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_kfold_fit_step(
+        mesh, rule=rule, fold_k=4, lr=lr, block=16
+    )
+    loss0, p1 = step(p, x, y)
+    loss1, _ = step(p1, x, y)
+    assert float(loss1) < float(loss0)
+
+    ref_loss = make_objective(rule, model="exact")
+    want0, grads = jax.value_and_grad(ref_loss)(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(want0), rtol=2e-4)
+    p1_want = jax.tree.map(lambda a, g: a - lr * g, p, grads)
+    for got, want in zip(jax.tree.leaves(p1), jax.tree.leaves(p1_want)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-2
+        )
+
+
+def test_sharded_fused_kfold_es_runs(rng):
+    from gpscore.parallel import make_sharded_fused_kfold_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n = 64
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_kfold_fit_step(
+        mesh, rule="es", fold_k=4, lr=0.01, block=8, num_sim=32
+    )
+    with pytest.raises(ValueError, match="PRNG key"):
+        step(p, x, y)
+    loss, p1 = step(p, x, y, key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(p1.log_length)))
