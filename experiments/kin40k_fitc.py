@@ -53,13 +53,17 @@ def main(argv=None):
         )
         return s.train_x, s.train_y, s.test_x, s.test_y
 
-    def make_params(key, d):
+    def make_params(key, d, rule):
+        # Per-section inits: random para_l + unit scalars everywhere
+        # (`KIN40K-COMPARE-ALL-FITC-20.py:211-215`); inducing_x ~ U(0,1)
+        # except the DSS section's standard-normal draw (`:531`).
         k_l, k_u = jax.random.split(key)
+        inducing_init = jax.random.normal if rule == "dss" else jax.random.uniform
         return GPParams(
             log_signal_sq=jnp.ones(()),
             log_length=jax.random.uniform(k_l, (d,)),
             log_noise_sq=jnp.ones(()),
-            inducing=jax.random.uniform(k_u, (m, d)),
+            inducing=inducing_init(k_u, (m, d)),
         )
 
     schedules = {}
