@@ -11,8 +11,10 @@ ceiling: n = 20k).
 This module fuses each segment into ONE custom-VJP function so the residual
 set is chosen by hand:
 
-- forward: K_hat is built (Pallas Gram for large n), factored, and inverted —
-  then *discarded*; only (K^-1, a) are saved. Peak live set: 2 n^2.
+- forward: K_hat is built, factored, and inverted — then *discarded*; only
+  (K^-1, a) are saved. Peak live set: 2 n^2; at n >= _INPLACE_MIN_N the
+  forward instead runs the in-place potri pipeline
+  (:mod:`gpscore.ops.potri_inplace`), peaking at ~n^2 + O(n block).
 - backward: the parameter gradient is the contraction
       theta_bar = sum_ij K_hat_bar_ij * dK_hat_ij/dtheta,
       K_hat_bar = -(K^-1 a_bar) a^T - K^-1 S(cot) K^-1
@@ -54,17 +56,51 @@ from gpscore.ops.kernels import ard_gram, gram
 from gpscore.utils.precision import MM_PRECISION, matmul
 
 
-def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y):
-    """(a, Kinv) for K_hat = K_ard(x) + noise I. K_hat is dead after the
-    factorization — the callers save only Kinv."""
+# At and above this n, the forward routes through the in-place potri pipeline
+# (gpscore.ops.potri_inplace). Measured on one v5e chip (CRPS-LOO
+# value_and_grad, d=8, block=2048): temp 1.45-1.56 n^2 vs 2.01 n^2 AND
+# 1.6-1.7x faster than the tri_inverse + square-GEMM forward (n=8192:
+# 0.120 s vs 0.191 s; n=16384: 0.627 s vs 1.079 s) — the potri stages do
+# ~n^3 MACs total where the standard forward spends ~2 n^3 on the full
+# square L^-T L^-1 GEMM alone. So it is the default whenever the fused core
+# itself engages; the memory headroom moves the single-chip HBM ceiling from
+# n = 45k to ~60k (RESULTS.md ceiling table).
+_INPLACE_MIN_N = 8192
+
+
+def _resolve_inplace(n: int, inplace):
+    return (n >= _INPLACE_MIN_N) if inplace is None else bool(inplace)
+
+
+def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
+                  block=2048, inplace=False):
+    """(a, Kinv, x_maybe_padded) for K_hat = K_ard(x) + noise I. K_hat is dead
+    after the factorization — the callers save only Kinv.
+
+    With ``inplace=True`` the whole Gram -> factor -> inverse chain runs in one
+    n x n buffer (padded up to a multiple of ``block`` with exactly-masked
+    rows); ``a`` and ``Kinv`` come back padded and the returned ``x`` is the
+    padded design, so the streamed backward runs on the padded system (padded
+    cotangent rows are identically zero — see gpscore/ops/potri_inplace.py)."""
     n = x.shape[0]
+    if inplace:
+        from gpscore.ops import potri_inplace as pp
+
+        n_pad = -(-n // block) * block
+        x_pad = pp.pad_rows(x, n_pad)
+        y_pad = pp.zero_pad(y.reshape(n), n_pad)
+        Kinv = pp.ard_gram_inverse_inplace(
+            log_signal_sq, log_length, log_noise_sq, x_pad, n, block
+        )
+        a = matmul(Kinv, y_pad.reshape(n_pad, 1))[:, 0]
+        return a, Kinv, x_pad
     K = gram(x, x, log_signal_sq, log_length, kind="ard")
     K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
     L = linalg.chol_factor(K_hat)
     Linv = tri_inverse_lower(L)
     Kinv = matmul(Linv.T, Linv)
     a = matmul(Kinv, y.reshape(n, 1))[:, 0]
-    return a, Kinv
+    return a, Kinv, x
 
 
 def _stream_param_grads(
@@ -176,31 +212,45 @@ def ard_contraction_grads(Khat_bar, K_ref, z, log_length, log_noise_sq):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
-                       block: int = 2048):
+                       block: int = 2048, inplace=None):
     """(a, d) = (K_hat^-1 y, diag K_hat^-1) for K_hat = K_ard(x) + noise_sq I,
     differentiable w.r.t. the three log-hyperparameters and y (x is data;
-    its cotangent is zero). ``block`` is the backward streaming row-block."""
-    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
-    return a, jnp.diagonal(Kinv)
+    its cotangent is zero). ``block`` is the backward streaming row-block.
+    ``inplace`` selects the n^2-peak potri forward (None = auto by n)."""
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    a, Kinv, _ = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
+                               block, inplace)
+    return a[:n], jnp.diagonal(Kinv)[:n]
 
 
-def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block):
-    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
-    return (a, jnp.diagonal(Kinv)), (
-        Kinv, a, log_signal_sq, log_length, log_noise_sq, x
+def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
+                                   x, y, block, inplace)
+    return (a[:n], jnp.diagonal(Kinv)[:n]), (
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x_pad
     )
 
 
-def _loo_bwd(block, res, cot):
+def _loo_bwd(block, inplace, res, cot):
     Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
     a_bar, d_bar = cot
+    n_real, n_pad = a_bar.shape[0], a.shape[0]
+    if n_pad > n_real:
+        from gpscore.ops.potri_inplace import zero_pad
+
+        a_bar = zero_pad(a_bar, n_pad)
+        d_bar = zero_pad(d_bar, n_pad)
     s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
         Kinv, a, a_bar, lambda Kinv_b: Kinv_b * d_bar[None, :],
         x, log_signal_sq, log_length, log_noise_sq, block,
     )
-    return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+    x_bar = jnp.zeros((n_real,) + x.shape[1:], x.dtype)
+    return s_bar, l_bar, n_bar, x_bar, y_bar[:n_real]
 
 
 ard_loo_solve_diag.defvjp(_loo_fwd, _loo_bwd)
@@ -211,9 +261,9 @@ ard_loo_solve_diag.defvjp(_loo_fwd, _loo_bwd)
 # --------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def ard_kfold_solve_blocks(log_signal_sq, log_length, log_noise_sq, x, y,
-                           fold_k: int, block: int = 2048):
+                           fold_k: int, block: int = 2048, inplace=None):
     """Fused Gram + k-fold solve: the large-n counterpart of
     :func:`gpscore.ops.linalg.kfold_solve_blocks` (reference fold conditionals,
     `kin40k-FULL-compare.py:507-530`). Requires n % fold_k == 0.
@@ -221,13 +271,17 @@ def ard_kfold_solve_blocks(log_signal_sq, log_length, log_noise_sq, x, y,
     The k-fold cotangent is A_bar [fold_k, nfold, nfold]; its K_hat_bar term
     -K^-1 blockdiag(A_bar) K^-1 streams per row block as
     einsum('sfi,fij->sfj') over the fold columns of K^-1's rows.
+    ``inplace`` selects the n^2-peak potri forward (None = auto by n).
     """
-    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
-    return a, _diag_blocks(Kinv, fold_k)
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    a, Kinv, _ = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
+                               block, inplace)
+    return a[:n], _diag_blocks(Kinv, fold_k, n)
 
 
-def _diag_blocks(Kinv, fold_k: int):
-    n = Kinv.shape[-1]
+def _diag_blocks(Kinv, fold_k: int, n: int):
+    """Fold-diagonal blocks of the top-left [n, n] of (possibly padded) Kinv."""
     if n % fold_k:
         raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
     nf = n // fold_k
@@ -237,31 +291,46 @@ def _diag_blocks(Kinv, fold_k: int):
     ])
 
 
-def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block):
-    a, Kinv = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y)
-    return (a, _diag_blocks(Kinv, fold_k)), (
-        Kinv, a, log_signal_sq, log_length, log_noise_sq, x
+def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block,
+               inplace):
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
+                                   x, y, block, inplace)
+    return (a[:n], _diag_blocks(Kinv, fold_k, n)), (
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x_pad
     )
 
 
-def _kfold_bwd(fold_k, block, res, cot):
+def _kfold_bwd(fold_k, block, inplace, res, cot):
     Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
     a_bar, A_bar = cot
-    n = a.shape[0]
-    nf = n // fold_k
+    n_real, n_pad = a_bar.shape[0], a.shape[0]
+    nf = n_real // fold_k
+    if n_pad > n_real:
+        from gpscore.ops.potri_inplace import zero_pad
+
+        a_bar = zero_pad(a_bar, n_pad)
 
     def make_M(Kinv_b):
         size = Kinv_b.shape[0]
         # rows of K^-1 blockdiag(A_bar): per fold f, Kinv_b[:, cols_f] @ A_bar_f
-        folded = Kinv_b.reshape(size, fold_k, nf)
+        # (padded columns of K^-1 carry zero cotangent — A_bar has no pad fold).
+        folded = Kinv_b[:, :n_real].reshape(size, fold_k, nf)
         M = jnp.einsum("sfi,fij->sfj", folded, A_bar, precision=MM_PRECISION)
-        return M.reshape(size, n)
+        M = M.reshape(size, n_real)
+        if n_pad > n_real:
+            M = jnp.concatenate(
+                [M, jnp.zeros((size, n_pad - n_real), M.dtype)], axis=1
+            )
+        return M
 
     s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
         Kinv, a, a_bar, make_M,
         x, log_signal_sq, log_length, log_noise_sq, block,
     )
-    return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+    x_bar = jnp.zeros((n_real,) + x.shape[1:], x.dtype)
+    return s_bar, l_bar, n_bar, x_bar, y_bar[:n_real]
 
 
 ard_kfold_solve_blocks.defvjp(_kfold_fwd, _kfold_bwd)

@@ -1,0 +1,158 @@
+"""gpscore.ops.potri_inplace: in-place fused Gram -> K_hat^-1 pipeline.
+
+Parity targets: the standard fused core (gpscore.ops.loo_fused with
+inplace=False) and the dense linalg path. The in-place pipeline reorders fp32
+contractions (panel GEMMs instead of one square GEMM), so tolerances match the
+other fused-core tests (~1e-4 relative on solve-backed gradients).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpscore.ops import linalg
+from gpscore.ops.kernels import ard_gram
+from gpscore.ops.loo_fused import ard_kfold_solve_blocks, ard_loo_solve_diag
+from gpscore.ops.potri_inplace import (
+    ard_gram_inverse_inplace,
+    pad_rows,
+    zero_pad,
+)
+
+
+def _problem(rng, n, d=3):
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+    s = jnp.float32(0.3)
+    ell = jnp.asarray((rng.standard_normal(d) * 0.3).astype(np.float32))
+    nu = jnp.float32(-1.2)
+    return x, y, s, ell, nu
+
+
+class TestInplacePipeline:
+    @pytest.mark.parametrize("n,block", [(64, 16), (64, 64), (96, 32)])
+    def test_matches_spd_inverse_exact_multiple(self, rng, n, block):
+        x, y, s, ell, nu = _problem(rng, n)
+        Kinv = ard_gram_inverse_inplace(s, ell, nu, x, n, block)
+        K_hat = ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n)
+        want = linalg.spd_inverse(K_hat)
+        np.testing.assert_allclose(
+            np.asarray(Kinv), np.asarray(want), rtol=5e-4, atol=5e-5
+        )
+
+    def test_padded_system_is_exactly_block_diagonal(self, rng):
+        """Masked padding => blockdiag(K_hat^-1, (1+noise)^-1 I) exactly:
+        zero cross-terms (bit-exact, not just small) and the real block equal
+        to the unpadded inverse."""
+        n, block = 52, 16
+        x, y, s, ell, nu = _problem(rng, n)
+        n_pad = 64
+        Kinv = ard_gram_inverse_inplace(
+            s, ell, nu, pad_rows(x, n_pad), n, block
+        )
+        K_hat = ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n)
+        want = linalg.spd_inverse(K_hat)
+        np.testing.assert_allclose(
+            np.asarray(Kinv[:n, :n]), np.asarray(want), rtol=5e-4, atol=5e-5
+        )
+        assert float(jnp.max(jnp.abs(Kinv[n:, :n]))) == 0.0
+        assert float(jnp.max(jnp.abs(Kinv[:n, n:]))) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(jnp.diagonal(Kinv)[n:]),
+            1.0 / (1.0 + float(jnp.exp(nu))),
+            rtol=1e-6,
+        )
+
+    def test_pad_helpers(self):
+        x = jnp.arange(6.0).reshape(3, 2)
+        xp = pad_rows(x, 5)
+        assert xp.shape == (5, 2)
+        np.testing.assert_array_equal(np.asarray(xp[3]), np.asarray(x[-1]))
+        v = zero_pad(jnp.ones(3), 5)
+        np.testing.assert_array_equal(np.asarray(v), [1, 1, 1, 0, 0])
+
+    def test_rejects_bad_shapes(self):
+        x = jnp.zeros((64, 2))
+        with pytest.raises(ValueError, match="multiple"):
+            ard_gram_inverse_inplace(
+                jnp.float32(0), jnp.zeros(2), jnp.float32(0), x[:60], 52, 16
+            )
+        with pytest.raises(ValueError, match="out of range"):
+            ard_gram_inverse_inplace(
+                jnp.float32(0), jnp.zeros(2), jnp.float32(0), x, 65, 16
+            )
+
+
+class TestFusedInplaceParity:
+    """inplace=True vs inplace=False through the custom-VJP cores."""
+
+    @pytest.mark.parametrize("n,block", [(52, 16), (64, 16), (96, 37)])
+    def test_loo_value_and_grads(self, rng, n, block):
+        x, y, s, ell, nu = _problem(rng, n)
+
+        def make(inplace):
+            def f(s, ell, nu, y):
+                a, dg = ard_loo_solve_diag(s, ell, nu, x, y, block, inplace)
+                return jnp.sum(jnp.sin(a) * dg) + jnp.sum(jnp.sqrt(dg))
+
+            return f
+
+        v0, g0 = jax.value_and_grad(make(False), argnums=(0, 1, 2, 3))(
+            s, ell, nu, y
+        )
+        v1, g1 = jax.value_and_grad(make(True), argnums=(0, 1, 2, 3))(
+            s, ell, nu, y
+        )
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a_, b_ in zip(g1, g0):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("n,block", [(52, 16), (96, 32)])
+    def test_kfold_value_and_grads(self, rng, n, block):
+        x, y, s, ell, nu = _problem(rng, n)
+        fk = 4
+
+        def make(inplace):
+            def f(s, ell, nu, y):
+                a, A = ard_kfold_solve_blocks(
+                    s, ell, nu, x, y, fk, block, inplace
+                )
+                return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(A))
+
+            return f
+
+        v0, g0 = jax.value_and_grad(make(False), argnums=(0, 1, 2, 3))(
+            s, ell, nu, y
+        )
+        v1, g1 = jax.value_and_grad(make(True), argnums=(0, 1, 2, 3))(
+            s, ell, nu, y
+        )
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a_, b_ in zip(g1, g0):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("rule", ["crps", "dss"])
+    def test_objective_dispatch_inplace(self, rng, monkeypatch, rule):
+        """With both thresholds forced down, make_objective routes through the
+        in-place fused core and reproduces the small-n loss + gradients."""
+        import gpscore.fit.objectives as obj
+        import gpscore.ops.loo_fused as lf
+        from gpscore.fit import make_objective
+        from gpscore.utils.params import GPParams
+
+        x, y, s, ell, nu = _problem(rng, 64, d=2)
+        p = GPParams(s, ell, nu)
+        want_v, want_g = jax.value_and_grad(make_objective(rule))(p, x, y, None)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        monkeypatch.setattr(lf, "_INPLACE_MIN_N", 1)
+        got_v, got_g = jax.value_and_grad(make_objective(rule))(p, x, y, None)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
