@@ -104,6 +104,8 @@ def make_objective(
 
         def loss(params, x, y, key=None):
             if model == "exact":
+                if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
+                    return exact_mod.nlml_exact_fused(x, y, params)
                 k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
                 return exact_mod.nlml_exact(k_ff, y, params.noise_sq)
             return fitc_mod.nlml_fitc(x, y, params, kind=kernel)

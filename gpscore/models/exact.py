@@ -62,6 +62,66 @@ def exact_predictive(k_star_f, k_ff, k_ss, y, noise_sq, *, L=None) -> Gaussian:
     return Gaussian(mean, cov)
 
 
+def exact_predictive_diag_large(
+    x, y, x_test, params, *, block: int = 2048, chunk: int = 2048
+) -> Gaussian:
+    """Diagonal noise-inclusive exact predictive at large n (ARD kernel).
+
+    Same mu* / diag Cov* as :func:`exact_predictive` (reference
+    ``cal_mean_and_cov``, `SIMPLE-DATA FULL-comapre.py:106-111`; prediction
+    tail `kin40k-FULL-compare.py:267-292`, which only ever consumes the
+    diagonal), but built for the post-fit evaluation of n ~ 60k models:
+
+    - K_ff never materializes — the in-place Gram-fused Cholesky
+      (:func:`gpscore.ops.potri_inplace.ard_gram_chol_inplace`) produces L in
+      one n x n buffer;
+    - test points stream in ``chunk``-sized blocks through triangular solves,
+      so the t x t covariance never exists.
+
+    Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training
+    goes through the fused LOO/k-fold/NLML cores).
+    """
+    from gpscore.ops.kernels import ard_gram
+    from gpscore.ops.potri_inplace import (
+        ard_gram_chol_inplace,
+        pad_rows,
+        zero_pad,
+    )
+
+    n = x.shape[0]
+    t = x_test.shape[0]
+    n_pad = -(-n // block) * block
+    x_pad = pad_rows(x, n_pad)
+    y_pad = zero_pad(y.reshape(n), n_pad)
+    L, _ = ard_gram_chol_inplace(
+        params.log_signal_sq, params.log_length, params.log_noise_sq,
+        x_pad, n, block,
+    )
+    solve = jax.scipy.linalg.solve_triangular
+    z = solve(L, y_pad.reshape(n_pad, 1), lower=True)
+    alpha = solve(L, z, lower=True, trans=1)[:, 0]
+    signal_sq = jnp.exp(params.log_signal_sq)
+    noise_sq = params.noise_sq
+    realmask = None
+    if n_pad > n:
+        realmask = (jnp.arange(n_pad) < n).astype(x.dtype)[:, None]
+
+    t_pad = -(-t // chunk) * chunk
+    xt = pad_rows(x_test, t_pad).reshape(t_pad // chunk, chunk, x.shape[1])
+
+    def body(_, xc):
+        ks = ard_gram(x_pad, xc, params.log_signal_sq, params.log_length)
+        if realmask is not None:
+            ks = ks * realmask  # padded train rows contribute nothing
+        mean_c = jnp.einsum("nc,n->c", ks, alpha, precision=MM_PRECISION)
+        V = solve(L, ks, lower=True)
+        var_c = noise_sq + signal_sq - jnp.sum(V * V, axis=0)
+        return None, (mean_c, var_c)
+
+    _, (mean, var) = jax.lax.scan(body, None, xt)
+    return Gaussian(mean.reshape(t_pad)[:t], var.reshape(t_pad)[:t])
+
+
 def loo_exact(k_ff, y, noise_sq) -> Gaussian:
     """Leave-one-out predictive via the Rasmussen–Williams identities
     (reference inline at `SIMPLE-DATA FULL-comapre.py:207-211`):
@@ -176,6 +236,21 @@ def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
     solve = jax.vmap(linalg.chol_solve_from_factor)
     mean = y.reshape(fold_k, nb) - solve(La, a.reshape(fold_k, nb, 1))[..., 0]
     return PrecisionGaussian(mean, La)
+
+
+def nlml_exact_fused(x, y, params):
+    """NLML via the fused in-place core (:func:`gpscore.ops.loo_fused.ard_nlml`):
+    same value as :func:`nlml_exact`, but the Gram never persists as an autodiff
+    residual, the factorization runs in one n x n buffer, and the gradient's
+    K_hat_bar = (K^-1 - alpha alpha^T)/2 streams off K^-1's rows with no second
+    n^3 GEMM — the large-n path for the baseline objective
+    (reference inline NLML, `SIMPLE-DATA FULL-comapre.py:292-296`)."""
+    from gpscore.ops.loo_fused import ard_nlml
+
+    return ard_nlml(
+        params.log_signal_sq, params.log_length, params.log_noise_sq,
+        x, y.reshape(x.shape[0]),
+    )
 
 
 def nlml_exact(k_ff, y, noise_sq):

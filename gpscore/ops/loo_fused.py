@@ -104,30 +104,33 @@ def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
 
 
 def _stream_param_grads(
-    Kinv, a, a_bar, make_M, x, log_signal_sq, log_length, log_noise_sq, block
+    Kinv, a, w, extra_rows, x, log_signal_sq, log_length, log_noise_sq, block
 ):
     """Shared streaming backward (module docstring math).
 
-    ``make_M(Kinv_b)`` produces the rows of K^-1 S(cot) for one row block —
-    ``Kinv_b * d_bar[None, :]`` for LOO, the fold-block einsum for k-fold —
-    so K_hat_bar rows are ``-w_b a^T - make_M(Kinv_b) @ Kinv``.
+    K_hat_bar rows for one row block are ``-w_b a^T + extra_rows(Kinv_b)``:
 
-    Returns (log_signal_bar, log_length_bar, log_noise_bar, y_bar).
+    - LOO / k-fold: ``w = K^-1 a_bar`` and
+      ``extra_rows = -make_M(Kinv_b) @ Kinv`` (the sandwich term
+      -K^-1 S(cot) K^-1 with S = diag(d_bar) or blockdiag(A_bar));
+    - NLML: ``K_hat_bar = v_bar (K^-1 - alpha alpha^T)/2``, i.e.
+      ``w = (v_bar/2) alpha`` and ``extra_rows = (v_bar/2) Kinv_b`` —
+      no second n^3 GEMM at all.
+
+    Returns (log_signal_bar, log_length_bar, log_noise_bar).
     """
     n = a.shape[0]
     d_dim = x.shape[1]
     dtype = Kinv.dtype
 
-    w = matmul(Kinv, a_bar.reshape(n, 1))[:, 0]
-    y_bar = w
     z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
 
     nb = min(block, n)
     n_full = (n // nb) * nb
 
     def _block(Kinv_b, w_b, x_b, z_b, off, size):
-        Kb_hat_bar = -matmul(w_b.reshape(size, 1), a.reshape(1, n)) - matmul(
-            make_M(Kinv_b), Kinv
+        Kb_hat_bar = -matmul(w_b.reshape(size, 1), a.reshape(1, n)) + extra_rows(
+            Kinv_b
         )
         K_b = ard_gram(x_b, x, log_signal_sq, log_length)
         C_b = Kb_hat_bar * K_b
@@ -180,7 +183,7 @@ def _stream_param_grads(
     log_length_bar = r_acc + matmul(c_acc.reshape(1, n), z * z)[0] - 2.0 * x_acc
     log_length_bar = jnp.reshape(log_length_bar, jnp.shape(log_length))
     log_noise_bar = jnp.exp(log_noise_sq) * t_acc
-    return s_acc, log_length_bar, log_noise_bar, y_bar
+    return s_acc, log_length_bar, log_noise_bar
 
 
 def ard_contraction_grads(Khat_bar, K_ref, z, log_length, log_noise_sq):
@@ -245,12 +248,17 @@ def _loo_bwd(block, inplace, res, cot):
 
         a_bar = zero_pad(a_bar, n_pad)
         d_bar = zero_pad(d_bar, n_pad)
-    s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
-        Kinv, a, a_bar, lambda Kinv_b: Kinv_b * d_bar[None, :],
+    w = matmul(Kinv, a_bar.reshape(n_pad, 1))[:, 0]
+
+    def extra_rows(Kinv_b):
+        return -matmul(Kinv_b * d_bar[None, :], Kinv)
+
+    s_bar, l_bar, n_bar = _stream_param_grads(
+        Kinv, a, w, extra_rows,
         x, log_signal_sq, log_length, log_noise_sq, block,
     )
     x_bar = jnp.zeros((n_real,) + x.shape[1:], x.dtype)
-    return s_bar, l_bar, n_bar, x_bar, y_bar[:n_real]
+    return s_bar, l_bar, n_bar, x_bar, w[:n_real]
 
 
 ard_loo_solve_diag.defvjp(_loo_fwd, _loo_bwd)
@@ -312,7 +320,9 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
 
         a_bar = zero_pad(a_bar, n_pad)
 
-    def make_M(Kinv_b):
+    w = matmul(Kinv, a_bar.reshape(n_pad, 1))[:, 0]
+
+    def extra_rows(Kinv_b):
         size = Kinv_b.shape[0]
         # rows of K^-1 blockdiag(A_bar): per fold f, Kinv_b[:, cols_f] @ A_bar_f
         # (padded columns of K^-1 carry zero cotangent — A_bar has no pad fold).
@@ -323,14 +333,119 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
             M = jnp.concatenate(
                 [M, jnp.zeros((size, n_pad - n_real), M.dtype)], axis=1
             )
-        return M
+        return -matmul(M, Kinv)
 
-    s_bar, l_bar, n_bar, y_bar = _stream_param_grads(
-        Kinv, a, a_bar, make_M,
+    s_bar, l_bar, n_bar = _stream_param_grads(
+        Kinv, a, w, extra_rows,
         x, log_signal_sq, log_length, log_noise_sq, block,
     )
     x_bar = jnp.zeros((n_real,) + x.shape[1:], x.dtype)
-    return s_bar, l_bar, n_bar, x_bar, y_bar[:n_real]
+    return s_bar, l_bar, n_bar, x_bar, w[:n_real]
 
 
 ard_kfold_solve_blocks.defvjp(_kfold_fwd, _kfold_bwd)
+
+
+# --------------------------------------------------------------------------
+# NLML: 0.5 n log 2pi + 0.5 log det K_hat + 0.5 y^T K_hat^-1 y
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def ard_nlml(log_signal_sq, log_length, log_noise_sq, x, y,
+             block: int = 2048, inplace=None):
+    """Fused large-n NLML (reference inline,
+    `SIMPLE-DATA FULL-comapre.py:292-296`; the exact-GP baseline objective).
+
+    Primal (no grad): Gram-fused in-place Cholesky + one triangular solve —
+    n^3/3 MACs, ~n^2 peak. Under value_and_grad: the potri forward (~n^3
+    MACs) plus an O(n^2)-FLOP streamed backward, because NLML's cotangent
+    ``K_hat_bar = (K^-1 - alpha alpha^T)/2`` reads directly off K^-1's rows —
+    unlike the LOO/k-fold cores there is NO second n^3 backward GEMM, so a
+    fused NLML step is the cheapest large-n objective step in the library.
+    (The unfused path via ``gram`` + ``nlml_exact`` differentiates through the
+    XLA Cholesky and holds K, L, and their cotangents: ~3-4 n^2 peak.)
+    """
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    const = 0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
+    if inplace:
+        from gpscore.ops import potri_inplace as pp
+
+        n_pad = -(-n // block) * block
+        x_pad = pp.pad_rows(x, n_pad)
+        y_pad = pp.zero_pad(y.reshape(n), n_pad)
+        L, hld = pp.ard_gram_chol_inplace(
+            log_signal_sq, log_length, log_noise_sq, x_pad, n, block
+        )
+        z = jax.scipy.linalg.solve_triangular(
+            L, y_pad.reshape(n_pad, 1), lower=True
+        )
+        return const + hld + 0.5 * jnp.sum(z * z)
+    K = gram(x, x, log_signal_sq, log_length, kind="ard")
+    K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
+    L = linalg.chol_factor(K_hat)
+    z = jax.scipy.linalg.solve_triangular(L, y.reshape(n, 1), lower=True)
+    return const + linalg.half_logdet(L) + 0.5 * jnp.sum(z * z)
+
+
+def _nlml_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
+    n = x.shape[0]
+    inplace = _resolve_inplace(n, inplace)
+    const = 0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
+    if inplace:
+        from gpscore.ops import potri_inplace as pp
+
+        n_pad = -(-n // block) * block
+        x_pad = pp.pad_rows(x, n_pad)
+        y_pad = pp.zero_pad(y.reshape(n), n_pad)
+        Kinv, hld = pp.ard_gram_inverse_inplace(
+            log_signal_sq, log_length, log_noise_sq, x_pad, n, block,
+            return_half_logdet=True,
+        )
+        a = matmul(Kinv, y_pad.reshape(n_pad, 1))[:, 0]
+        quad = 0.5 * jnp.sum(y_pad * a)
+    else:
+        K = gram(x, x, log_signal_sq, log_length, kind="ard")
+        K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
+        L = linalg.chol_factor(K_hat)
+        hld = linalg.half_logdet(L)
+        Linv = tri_inverse_lower(L)
+        Kinv = matmul(Linv.T, Linv)
+        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+        quad = 0.5 * jnp.sum(y.reshape(n) * a)
+    value = const + hld + quad
+    return value, (Kinv, a, log_signal_sq, log_length, log_noise_sq, x)
+
+
+def _nlml_bwd(block, inplace, res, v_bar):
+    Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+    n_real, n_pad = x.shape[0], a.shape[0]
+    half = 0.5 * v_bar
+    w = half * a
+    if n_pad > n_real:
+        from gpscore.ops.potri_inplace import pad_rows
+
+        x_stream = pad_rows(x, n_pad)
+        # Padded K^-1 has (1+noise)^-1 on its pad diagonal; those entries get
+        # zero cotangent (the padded system is a constant), so mask pad cols.
+        colmask = (jnp.arange(n_pad) < n_real).astype(Kinv.dtype)[None, :]
+
+        def extra_rows(Kinv_b):
+            return half * (Kinv_b * colmask)
+
+    else:
+        x_stream = x
+
+        def extra_rows(Kinv_b):
+            return half * Kinv_b
+
+    s_bar, l_bar, n_bar = _stream_param_grads(
+        Kinv, a, w, extra_rows,
+        x_stream, log_signal_sq, log_length, log_noise_sq, block,
+    )
+    y_bar = v_bar * a[:n_real]
+    return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+
+
+ard_nlml.defvjp(_nlml_fwd, _nlml_bwd)

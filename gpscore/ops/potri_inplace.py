@@ -75,12 +75,18 @@ def zero_pad(v, n_pad: int):
 
 
 def _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x, n_real, b):
-    """W <- lower Cholesky factor of the masked-padded K_hat; strict upper 0."""
+    """W <- lower Cholesky factor of the masked-padded K_hat; strict upper 0.
+
+    Also returns the half log-det of the REAL block,
+    ``sum_{i < n_real} log L_ii`` (pad diagonal entries are excluded), so NLML
+    callers get it for free before `_tri_inv_inplace` overwrites L.
+    """
     n = x.shape[0]
     dtype = x.dtype
     noise = jnp.exp(log_noise_sq)
     eye_b = jnp.eye(b, dtype=dtype)
     W = jnp.zeros((n, n), dtype)
+    half_logdet = jnp.zeros((), dtype)
     for pi in range(n // b):
         s = pi * b
         m = n - s
@@ -104,6 +110,10 @@ def _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x, n_real, b):
 
             P, _ = lax.scan(body, P, b * jnp.arange(pi))
         Ljj = jnp.linalg.cholesky(lax.slice(P, (0, 0), (b, b)))
+        ld = jnp.log(jnp.diagonal(Ljj))
+        if n_real < n:
+            ld = ld * (jnp.arange(s, s + b) < n_real).astype(dtype)
+        half_logdet = half_logdet + jnp.sum(ld)
         if m > b:
             # L[s+b:, s:s+b] = P[b:] L_ss^-T via the explicit panel inverse
             # (bounded memory; the whole current pipeline already forms the
@@ -114,7 +124,7 @@ def _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x, n_real, b):
         else:
             col = Ljj
         W = lax.dynamic_update_slice(W, col, (s, s))
-    return W
+    return W, half_logdet
 
 
 def _tri_inv_inplace(W, b):
@@ -177,8 +187,16 @@ def _lauum_inplace(W, b):
     return W
 
 
+def _check_padded(n, n_real, block):
+    if n % block:
+        raise ValueError(f"padded n={n} must be a multiple of block={block}")
+    if not 0 < n_real <= n:
+        raise ValueError(f"n_real={n_real} out of range for padded n={n}")
+
+
 def ard_gram_inverse_inplace(
-    log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048
+    log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048,
+    return_half_logdet: bool = False,
 ):
     """K_hat^-1 for K_hat = K_ard(x[:n_real]) + noise I, padded block-diagonal.
 
@@ -186,17 +204,31 @@ def ard_gram_inverse_inplace(
     rows >= ``n_real`` are masked so the padded system is exactly
     ``blockdiag(K_hat, (1 + noise) I)``. Returns the full [n_pad, n_pad]
     symmetric inverse; the top-left [n_real, n_real] block is K_hat^-1.
+    With ``return_half_logdet=True`` returns ``(Kinv, half_logdet)`` where the
+    half log-det covers the real block only (the NLML log-det term).
 
     Not differentiable — this is the forward of the :mod:`gpscore.ops.loo_fused`
     custom-VJP cores, whose backward streams the parameter contraction off the
     returned inverse.
     """
-    n = x.shape[0]
-    if n % block:
-        raise ValueError(f"padded n={n} must be a multiple of block={block}")
-    if not 0 < n_real <= n:
-        raise ValueError(f"n_real={n_real} out of range for padded n={n}")
-    W = _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
-                           n_real, block)
+    _check_padded(x.shape[0], n_real, block)
+    W, hld = _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
+                                n_real, block)
     W = _tri_inv_inplace(W, block)
-    return _lauum_inplace(W, block)
+    Kinv = _lauum_inplace(W, block)
+    if return_half_logdet:
+        return Kinv, hld
+    return Kinv
+
+
+def ard_gram_chol_inplace(
+    log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048
+):
+    """(L, half_logdet) for the masked-padded K_hat, ~n^2 + O(n*block) peak.
+
+    Stage 1 only — for consumers that need triangular solves against K_hat
+    rather than its explicit inverse (fused NLML primal, large-n predictive).
+    """
+    _check_padded(x.shape[0], n_real, block)
+    return _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
+                              n_real, block)

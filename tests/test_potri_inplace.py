@@ -136,6 +136,78 @@ class TestFusedInplaceParity:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
+    @pytest.mark.parametrize("n,block,inplace", [(52, 16, True), (96, 32, True),
+                                                 (96, 32, False)])
+    def test_nlml_value_and_grads(self, rng, n, block, inplace):
+        """Fused ard_nlml == nlml_exact (value + grads), both potri branches."""
+        from gpscore.models.exact import nlml_exact
+        from gpscore.ops.loo_fused import ard_nlml
+
+        x, y, s, ell, nu = _problem(rng, n)
+
+        def ref(s, ell, nu, y):
+            K = ard_gram(x, x, s, ell)
+            return nlml_exact(K, y, jnp.exp(nu))
+
+        def fused(s, ell, nu, y):
+            return ard_nlml(s, ell, nu, x, y, block, inplace)
+
+        v0, g0 = jax.value_and_grad(ref, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        v1, g1 = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        # primal (no-grad) path is a different branch — check it too
+        np.testing.assert_allclose(
+            float(fused(s, ell, nu, y)), float(v0), rtol=1e-5
+        )
+        for a_, b_ in zip(g1, g0):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    def test_nlml_objective_dispatch(self, rng, monkeypatch):
+        import gpscore.fit.objectives as obj
+        import gpscore.ops.loo_fused as lf
+        from gpscore.fit import make_objective
+        from gpscore.utils.params import GPParams
+
+        x, y, s, ell, nu = _problem(rng, 64, d=2)
+        p = GPParams(s, ell, nu)
+        want_v, want_g = jax.value_and_grad(make_objective("nlml"))(p, x, y, None)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        monkeypatch.setattr(lf, "_INPLACE_MIN_N", 1)
+        got_v, got_g = jax.value_and_grad(make_objective("nlml"))(p, x, y, None)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("n,t,block,chunk", [(52, 23, 16, 8), (64, 16, 16, 16)])
+    def test_predictive_diag_large_matches_dense(self, rng, n, t, block, chunk):
+        """Chunked large-n predictive == exact_predictive's diagonal, with
+        padding on both the train and test axes."""
+        from gpscore.models.exact import (
+            exact_predictive,
+            exact_predictive_diag_large,
+        )
+        from gpscore.utils.params import GPParams
+
+        x, y, s, ell, nu = _problem(rng, n)
+        xt = jnp.asarray(rng.standard_normal((t, x.shape[1])).astype(np.float32))
+        p = GPParams(s, ell, nu)
+        k_ff = ard_gram(x, x, s, ell)
+        k_sf = ard_gram(xt, x, s, ell)
+        k_ss = ard_gram(xt, xt, s, ell)
+        want = exact_predictive(k_sf, k_ff, k_ss, y, jnp.exp(nu))
+        got = exact_predictive_diag_large(x, y, xt, p, block=block, chunk=chunk)
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(want.mean), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cov), np.asarray(jnp.diagonal(want.cov)),
+            rtol=1e-4, atol=1e-5,
+        )
+
     @pytest.mark.parametrize("rule", ["crps", "dss"])
     def test_objective_dispatch_inplace(self, rng, monkeypatch, rule):
         """With both thresholds forced down, make_objective routes through the
