@@ -13,6 +13,7 @@ from gpscore.parallel.sharded_kfold import (
 )
 from gpscore.parallel.sharded_loo import (
     make_sharded_fused_loo_fit_step,
+    make_sharded_fused_nlml_fit_step,
     make_sharded_loo_fit_step,
     make_sharded_loo_solve_diag,
     sharded_loo_fit_step,
@@ -34,6 +35,7 @@ __all__ = [
     "make_sharded_kfold_blocks",
     "make_sharded_kfold_fit_step",
     "make_sharded_fused_loo_fit_step",
+    "make_sharded_fused_nlml_fit_step",
     "make_sharded_loo_fit_step",
     "make_sharded_loo_solve_diag",
     "sharded_loo_fit_step",

@@ -352,3 +352,97 @@ def sharded_loo_fit_step(params, x, y, mesh, lr: float = 1.0,
     """
     step = make_sharded_loo_fit_step(mesh, lr=lr, axis=axis, block=block, kernel=kernel)
     return step(params, x, y)
+
+
+def make_sharded_fused_nlml_fit_step(
+    mesh: Mesh, lr: float = 0.0005, axis: str = "data", block: int = 256,
+):
+    """Mesh-sharded fused NLML gradient step — the multi-chip counterpart of
+    :func:`gpscore.ops.loo_fused.ard_nlml`, completing the sharded fit-step
+    family (CRPS/logs/interval-LOO, DSS/ES/kc k-fold, and now the NLML
+    baseline; reference inline NLML at `SIMPLE-DATA FULL-comapre.py:292-296`).
+
+    Same residual discipline as :func:`make_sharded_fused_loo_fit_step` (only
+    the row-sharded K^-1 survives the forward; the Gram is recomputed in the
+    backward), and like the single-chip fused NLML the cotangent
+    ``K_hat_bar = v_bar (K^-1 - alpha alpha^T)/2`` comes straight off K^-1's
+    rows — no K^-1-sandwich GEMM, so the backward is one rank-1 update plus
+    the O(n^2) kernel contraction, every term row-partitioned under GSPMD.
+    """
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+    from gpscore.ops.kernels import ard_gram
+    from gpscore.ops.loo_fused import ard_contraction_grads
+    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.utils.precision import matmul
+
+    row = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
+        n = x.shape[0]
+        x = jax.lax.with_sharding_constraint(x, row)
+        K_hat = jax.lax.with_sharding_constraint(
+            ard_gram(x, x, log_signal_sq, log_length)
+            + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=x.dtype),
+            row,
+        )
+        L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
+        L = jax.lax.with_sharding_constraint(L, row)
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+        Linv = tri_inverse_lower(L)
+        Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+        value = (
+            0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
+            + half_logdet
+            + 0.5 * jnp.sum(y.reshape(n) * a)
+        )
+        return value, a, Kinv
+
+    @jax.custom_vjp
+    def nlml(log_signal_sq, log_length, log_noise_sq, x, y):
+        value, _, _ = _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y)
+        return value
+
+    def f_fwd(log_signal_sq, log_length, log_noise_sq, x, y):
+        value, a, Kinv = _fwd_impl(log_signal_sq, log_length, log_noise_sq,
+                                   x, y)
+        return value, (Kinv, a, log_signal_sq, log_length, log_noise_sq, x)
+
+    def f_bwd(res, v_bar):
+        Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
+        n = a.shape[0]
+        Kinv = jax.lax.with_sharding_constraint(Kinv, row)
+        half = 0.5 * v_bar
+        Khat_bar = jax.lax.with_sharding_constraint(
+            half * (Kinv - matmul(a.reshape(n, 1), a.reshape(1, n))), row
+        )
+        K_ref = jax.lax.with_sharding_constraint(
+            ard_gram(x, x, log_signal_sq, log_length), row
+        )
+        z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
+        s_bar, l_bar, n_bar = ard_contraction_grads(
+            Khat_bar, K_ref, z, log_length, log_noise_sq
+        )
+        return s_bar, l_bar, n_bar, jnp.zeros_like(x), v_bar * a
+
+    nlml.defvjp(f_fwd, f_bwd)
+
+    def loss_fn(p, x, y):
+        return nlml(p.log_signal_sq, p.log_length, p.log_noise_sq, x, y)
+
+    def step_impl(p, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        new = jax.tree.map(lambda p_, g: p_ - lr * g, p, grads)
+        return loss, new
+
+    jitted = jax.jit(step_impl, in_shardings=(repl, row, repl))
+
+    def step(params, x, y):
+        return jitted(
+            jax.device_put(params, repl),
+            jax.device_put(x, row),
+            jax.device_put(y, repl),
+        )
+
+    return step

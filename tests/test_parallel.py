@@ -449,6 +449,35 @@ def test_sharded_fused_loo_fit_step_matches_objective(rng, rule):
         )
 
 
+def test_sharded_fused_nlml_fit_step_matches_objective(rng):
+    """Fused-sharded NLML step: loss parity with the single-device objective,
+    one-step param parity, and descent."""
+    from gpscore.parallel import make_sharded_fused_nlml_fit_step
+
+    mesh = make_mesh(batch=1, data=8)
+    n, lr = 128, 0.001
+    x = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(2),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_nlml_fit_step(mesh, lr=lr, block=16)
+    loss0, p1 = step(p, x, y)
+    loss1, _ = step(p1, x, y)
+    assert float(loss1) < float(loss0)
+
+    ref_loss = make_objective("nlml", model="exact")
+    want0, grads = jax.value_and_grad(ref_loss)(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(want0), rtol=2e-4)
+    p1_want = jax.tree.map(lambda a, g: a - lr * g, p, grads)
+    for got, want in zip(jax.tree.leaves(p1), jax.tree.leaves(p1_want)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-2
+        )
+
+
 def test_sharded_fused_loo_fit_step_mixed_mesh(rng):
     """The fused-sharded step also runs on a mixed (batch=2, data=4) mesh."""
     from gpscore.parallel import make_sharded_fused_loo_fit_step
