@@ -1,0 +1,146 @@
+"""Beyond-reference-scale exact-GP driver: fit and evaluate at n up to the
+single-chip HBM ceiling.
+
+The reference's dense CPU LOO caps it at n = 500 (`kin40k-FULL-compare.py:196`)
+and even its full data pool is 10k rows. This driver exercises the fused
+in-place cores (gpscore/ops/{loo_fused,potri_inplace}.py) end-to-end at
+arbitrary n — every exact-model objective (crps/logs/interval LOO, nlml,
+dss/es/kc 4-fold) fits at n ~ 61k on one 16 GB v5e chip (RESULTS.md ceiling
+table) and evaluation streams through the chunked large-n predictive
+(`exact_predictive_diag_large`), so no stage materializes more than one
+n x n buffer.
+
+Data is a hermetic d-dimensional smooth-function-plus-noise synthetic (a GP
+draw at this scale would itself need the O(n^3) factorization the fit is
+benchmarking). Fits are host-chunked into ``--segment-iters`` pieces — the
+TPU tunnel kills device programs that run uninterrupted for multiple minutes
+(CLAUDE.md), and a 61k-row GD iteration is ~30 s.
+
+Learning rates default to the reference KIN40K table (SURVEY.md §2.5) with the
+sum-scaled objectives (nlml/dss/es) multiplied by 500/n, the same documented
+deviation as `kin40k_full.py --lr-scale` (the reference tuned them at n=500).
+
+Usage:
+  python experiments/large_n.py --n 30720 --rules crps nlml --iters 10
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpscore.fit import fit_gd, make_objective
+from gpscore.fit.schedules import SCHEDULES, Schedule
+from gpscore.metrics.evaluation import evaluate_predictive
+from gpscore.models.exact import exact_predictive_diag_large
+from gpscore.utils.params import init_unit_params
+
+RULES = ("crps", "logs", "interval", "nlml", "dss", "es", "kc")
+# Sum-scaled objectives whose reference lr (tuned at n=500) scales ~1/n.
+SUM_SCALED = ("nlml", "dss", "es")
+
+
+def make_data(n, d, n_test, seed=0):
+    """Smooth target + noise; train rows n, held-out rows n_test."""
+    key = jax.random.PRNGKey(seed)
+    kx, ky, kt, ks = jax.random.split(key, 4)
+
+    def f(xx):
+        return (
+            jnp.sin(xx[:, 0])
+            + 0.5 * jnp.cos(2.0 * xx[:, 1 % d])
+            + 0.3 * xx[:, 2 % d]
+        )
+
+    x = jax.random.normal(kx, (n, d), jnp.float32)
+    y = f(x) + 0.1 * jax.random.normal(ky, (n,), jnp.float32)
+    xt = jax.random.normal(kt, (n_test, d), jnp.float32)
+    yt = f(xt) + 0.1 * jax.random.normal(ks, (n_test,), jnp.float32)
+    return x, y, xt, yt
+
+
+def schedule_for(rule, n, iters, lr_scale):
+    base = SCHEDULES[("kin40k_full", rule)] if ("kin40k_full", rule) in SCHEDULES \
+        else SCHEDULES[("kin40k_fitc", rule)]
+    lr = base.lr * lr_scale
+    if rule in SUM_SCALED:
+        lr = lr * 500.0 / n
+    return Schedule(rule, iters if iters else base.iters, lr)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=30720)
+    ap.add_argument("--d", type=int, default=8)
+    ap.add_argument("--n-test", type=int, default=2048)
+    ap.add_argument("--rules", nargs="+", default=["crps", "nlml"],
+                    choices=list(RULES))
+    ap.add_argument("--iters", type=int, default=10,
+                    help="GD iterations per rule (0 = reference count)")
+    ap.add_argument("--segment-iters", type=int, default=5,
+                    help="host-chunk size (tunnel kills multi-minute programs)")
+    ap.add_argument("--lr-scale", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    if args.n % 4 and any(r in ("dss", "es", "kc") for r in args.rules):
+        ap.error("fold rules need --n divisible by 4")
+
+    x, y, xt, yt = make_data(args.n, args.d, args.n_test)
+    results = {}
+    for rule in args.rules:
+        sched = schedule_for(rule, args.n, args.iters, args.lr_scale)
+        loss = make_objective(rule, model="exact")
+        params = init_unit_params(d=args.d, isotropic=False)
+        key = jax.random.PRNGKey(1)
+
+        seg = max(1, min(args.segment_iters, sched.iters))
+        sizes = [seg] * (sched.iters // seg)
+        if sched.iters % seg:
+            sizes.append(sched.iters % seg)
+        seg_fns = {}
+        t0 = time.time()
+        losses = []
+        seg_times = []
+        for s, it in enumerate(sizes):
+            fn = seg_fns.setdefault(it, jax.jit(
+                lambda p, k, _it=it: fit_gd(
+                    loss, p, x, y, iters=_it, lr=sched.lr, key=k)
+            ))
+            ts = time.time()
+            res = fn(params, jax.random.fold_in(key, s))
+            params = res.params
+            losses.extend(np.asarray(res.loss_history).tolist())  # readback
+            seg_times.append((time.time() - ts, it))
+        wall = time.time() - t0
+        # first segment pays (remote) compilation; steady-state = best segment
+        steady = min(t / it for t, it in seg_times)
+
+        pred = exact_predictive_diag_large(x, y, xt, params)
+        m = evaluate_predictive(pred.mean, pred.cov, yt, y)
+        rec = {
+            "n": args.n, "iters": sched.iters, "lr": sched.lr,
+            "fit_wall_s": round(wall, 2),
+            "s_per_iter_steady": round(steady, 3),
+            "loss_first": losses[0], "loss_last": losses[-1],
+            **{k: float(v) for k, v in m._asdict().items()},
+        }
+        results[rule] = rec
+        print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"wrote {args.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -107,3 +107,20 @@ def test_interval_objective_fits_synthetic(rng):
                     replicates=1, d=2, verbose=False)
     assert out["interval"]["num_failed"] == 0
     assert np.isfinite(out["interval"]["crps"])
+
+
+def test_large_n_driver_end_to_end(tmp_path):
+    """experiments/large_n.py: tiny-scale smoke of the beyond-reference driver
+    (fused-core fit path + chunked large-n predictive + metrics + JSON out)."""
+    from experiments import large_n
+
+    out = tmp_path / "ln.json"
+    res = large_n.main([
+        "--n", "128", "--n-test", "32", "--rules", "crps", "nlml",
+        "--iters", "3", "--segment-iters", "2", "--out", str(out),
+    ])
+    assert out.exists()
+    for rule in ("crps", "nlml"):
+        rec = res[rule]
+        assert np.isfinite(rec["crps"]) and np.isfinite(rec["loss_last"])
+        assert rec["loss_last"] < rec["loss_first"]
