@@ -82,6 +82,24 @@ def make_objective(
             return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
         return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)
 
+    def _use_fold_stats(x):
+        # Large-n exact path: fused core + closed-form-adjoint fold consumer
+        # (gpscore.ops.fold_core) — nothing in the fold chain left to autodiff,
+        # ~n^2 + 3 n^2/fold_k peak instead of the 3.4 n^2 the autodiff consumer
+        # of the PrecisionGaussian path holds (RESULTS.md ceiling tables).
+        return model == "exact" and kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N
+
+    def _fold_stats(params, x, y, num_eps, key=None, want_inv_diag=False):
+        n = x.shape[0]
+        nb = n // fold_k
+        if num_eps:
+            eps = jax.random.normal(key, (fold_k, nb, num_eps), x.dtype)
+        else:
+            eps = jnp.zeros((fold_k, nb, 0), x.dtype)
+        return exact_mod.kfold_stats_fused(
+            x, y, params, fold_k, eps, want_inv_diag
+        )
+
     if rule == "crps":
 
         def loss(params, x, y, key=None):
@@ -113,6 +131,16 @@ def make_objective(
     elif rule == "dss":
 
         def loss(params, x, y, key=None):
+            if _use_fold_stats(x):
+                # DSS_b = nb/2 log 2pi - hld_b + 1/2 e_b^T a_b  (r_b = e_b and
+                # the quadratic r^T A r collapses to e^T a since A e = a).
+                stats, a_b, _ = _fold_stats(params, x, y, 0)
+                nb = a_b.shape[1]
+                return (
+                    0.5 * fold_k * nb * jnp.log(2.0 * jnp.pi)
+                    - jnp.sum(stats.half_logdet)
+                    + 0.5 * jnp.sum(stats.e * a_b)
+                )
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
             nb = y_b.shape[1]
@@ -130,6 +158,17 @@ def make_objective(
     elif rule == "es":
 
         def loss(params, x, y, key):
+            if _use_fold_stats(x):
+                # Reparameterized sampler z = La^-T eps inside the stats
+                # primitive; r_b = m_b - y_b = -e_b.
+                stats, _, _ = _fold_stats(params, x, y, 2 * num_sim, key)
+                z, zp = stats.z[:, :num_sim], stats.z[:, num_sim:]
+                per_fold = jax.vmap(
+                    lambda zz, zzp, rr: rules.energy_score_core(
+                        zz, zzp, rr, num_sim, es_beta
+                    )
+                )(z, zp, -stats.e)
+                return jnp.sum(per_fold)
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
             if model == "exact":
@@ -154,6 +193,9 @@ def make_objective(
     elif rule == "kc":
 
         def loss(params, x, y, key=None):
+            if _use_fold_stats(x):
+                stats, _, y_b = _fold_stats(params, x, y, 0, want_inv_diag=True)
+                return rules.crps_kfold(y_b - stats.e, stats.inv_diag, y_b)
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
             if model == "exact":

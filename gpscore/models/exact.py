@@ -146,9 +146,11 @@ def loo_exact(k_ff, y, noise_sq) -> Gaussian:
 def loo_exact_fused(x, y, params) -> Gaussian:
     """LOO predictive via the fused ARD-Gram + solve core
     (:mod:`gpscore.ops.loo_fused`): same identities as :func:`loo_exact`, but
-    the Gram never persists as an autodiff residual and the backward streams
-    the kernel contraction — peak live set ~2 n^2 instead of ~4 n^2, which is
-    what lets a single chip take n = 30k (the reference caps at n = 500,
+    the Gram never persists as an autodiff residual, the forward computes
+    K^-1 inside one n x n buffer (the in-place potri pipeline,
+    :mod:`gpscore.ops.potri_inplace`), and the backward streams the kernel
+    contraction — peak live set ~n^2 + O(n block) instead of ~4 n^2, which is
+    what lets a single 16 GB chip take n = 61k (the reference caps at n = 500,
     `kin40k-FULL-compare.py:196`)."""
     from gpscore.ops.loo_fused import ard_loo_solve_diag
 
@@ -236,6 +238,41 @@ def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
     solve = jax.vmap(linalg.chol_solve_from_factor)
     mean = y.reshape(fold_k, nb) - solve(La, a.reshape(fold_k, nb, 1))[..., 0]
     return PrecisionGaussian(mean, La)
+
+
+def kfold_stats_fused(x, y, params, fold_k: int, eps, want_inv_diag: bool = True):
+    """Fold-conditional statistics for the large-n DSS/ES/kc objectives:
+    the fused ARD-Gram + k-fold solve core
+    (:func:`gpscore.ops.loo_fused.ard_kfold_solve_blocks`) composed with the
+    closed-form-adjoint fold consumer
+    (:func:`gpscore.ops.fold_core.fold_precision_stats`).
+
+    Same fold conditionals as :func:`kfold_exact_precision`
+    (reference `kin40k-FULL-compare.py:500-530`), but nothing in the chain is
+    left to autodiff: the scoring-stage adjoints (A_bar, a_bar) are closed
+    form, so a value_and_grad holds only the core's K^-1 residual plus the
+    fold blocks (~n^2 + 3 n^2/k peak instead of the 3.4 n^2 the autodiff
+    consumer held — the fold-rule single-chip ceiling moves from ~32k to the
+    CRPS/NLML ceiling, RESULTS.md).
+
+    ``eps``: [fold_k, nb, S] standard normals for the ES sampler (S = 0
+    otherwise). ``want_inv_diag=False`` (static) skips the fold variances
+    (only kc reads them). Returns ``(stats: FoldStats, a_b: [k, nb],
+    y_b: [k, nb])`` with fold mean ``y_b - stats.e``.
+    """
+    from gpscore.ops.fold_core import fold_precision_stats
+    from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+
+    n = x.shape[0]
+    y = y.reshape(n)
+    a, A = ard_kfold_solve_blocks(
+        params.log_signal_sq, params.log_length, params.log_noise_sq,
+        x, y, fold_k,
+    )
+    nb = n // fold_k
+    a_b = a.reshape(fold_k, nb)
+    stats = fold_precision_stats(A, a_b, eps, want_inv_diag)
+    return stats, a_b, y.reshape(fold_k, nb)
 
 
 def nlml_exact_fused(x, y, params):

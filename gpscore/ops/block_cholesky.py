@@ -57,11 +57,18 @@ def tri_inverse_lower(L, base: int = _BASE):
     HBM); this recursion replaces that solve in the large-n LOO path.
     """
     n = L.shape[-1]
+
+    def _base(L):
+        # solve_triangular does not broadcast an unbatched RHS over L's batch
+        # dims — materialize the identity per batch element.
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return solve_triangular(L, eye, lower=True)
+
     if n <= base:
-        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+        return _base(L)
     k = _split_point(n, base)
     if k >= n:
-        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+        return _base(L)
     L11 = L[..., :k, :k]
     L21 = L[..., k:, :k]
     L22 = L[..., k:, k:]

@@ -1,0 +1,287 @@
+"""Closed-form-adjoint fold consumer: the k-fold scoring stage without autodiff.
+
+The large-n k-fold objectives (DSS/ES/kc) consume the fused core's fold blocks
+``A_b = [K_hat^-1]_bb`` (:func:`gpscore.ops.loo_fused.ard_kfold_solve_blocks`)
+through a batched Cholesky + triangular solves + rule arithmetic. Left to
+autodiff, that consumer holds A, its factor La, BOTH their cotangents, and the
+Cholesky-VJP temps alongside the core's n^2 K^-1 residual — measured 3.4 n^2
+peak across a value_and_grad at n = 30,720 (RESULTS.md), capping the fold
+rules at n ~ 32k on a 16 GB chip while CRPS/NLML reach 61k.
+
+:func:`fold_precision_stats` replaces that consumer with ONE custom-VJP
+primitive producing exactly the statistics the three rules need:
+
+    e         = A_b^-1 a_b            (fold mean error: m_b = y_b - e_b)
+    half_logdet = sum log diag chol(A_b)   (DSS log-det term)
+    inv_diag  = diag(A_b^-1)          (kc fold variances)
+    z         = La_b^-T eps           (ES samples, cov A_b^-1, reparameterized)
+
+with every adjoint in closed form off A_b^-1 (recomputed in the backward from
+the saved input A — k nb^3 extra FLOPs = n^3/k^2, negligible):
+
+    a_bar  = A^-1 e_bar
+    A_bar  = -sym(u e^T)                          u = A^-1 e_bar
+             + (hld_bar/2) A^-1
+             - A^-1 diag(d_bar) A^-1
+             + chol_vjp(La, tril(-La^-T W_bar^T La^-T))   W_bar = z_bar^T eps^T
+
+(the symmetrization is exact: A is a symmetric function of K^-1, so only the
+symmetric part of A_bar survives the downstream parameter contraction).
+Residual set: the inputs (A, a, eps) plus e — no factor, no cotangent
+pyramids. Peak across a value_and_grad drops to ~n^2 + ~3 n^2/k (measured in
+RESULTS.md), which moves the fold-rule ceiling to ~the CRPS/NLML ceiling.
+
+Reference analogue: the per-fold conditional scoring of
+`kin40k-FULL-compare.py:500-543` (DSS), `:616-663` (ES) and
+`KIN40K-COMPARE-ALL-FITC-20.py:667-720` (kc), which re-factor per fold at
+n = 500; this module is what lets the same math run at n ~ 60k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpscore.utils.precision import MM_PRECISION, matmul
+
+
+class FoldStats(NamedTuple):
+    """Per-fold statistics of the block conditionals (leading axis = fold)."""
+
+    e: jnp.ndarray  # [k, nb]   A^-1 a
+    half_logdet: jnp.ndarray  # [k]  sum log diag chol(A)
+    inv_diag: jnp.ndarray  # [k, nb]  diag(A^-1)
+    z: jnp.ndarray  # [k, S, nb]  centered samples with cov A^-1 (S may be 0)
+
+
+def _bsolve(La, B, trans: int):
+    """Batched triangular solve over the fold axis."""
+    return jax.vmap(
+        lambda L, b: jax.scipy.linalg.solve_triangular(
+            L, b, lower=True, trans=trans
+        )
+    )(La, B)
+
+
+# At and above this fold size, the factorization runs the potri-style in-place
+# panel pipeline below instead of XLA's cholesky/triangular-solve expanders.
+# Measured (n = 16,384, fk = 4, value_and_grad of the composed objective): ANY
+# >= 4096-sized cholesky or [nb, nb]-RHS triangular solve expanded by XLA on
+# the fold blocks adds ~1.1 n^2 of expander panel temps next to the core's
+# K^-1 residual (2048-sized leaves add ~0.1 n^2) — the same pathology
+# gpscore/ops/linalg.py's _TRI_INV_MIN_N documents for the LOO path.
+_INPLACE_MIN_NB = 2048
+
+# Panel width of the in-place fold Cholesky; leaf cholesky/solve calls are
+# this size, at the measured expander-temp knee (2048 leaves cost ~0.1 n^2,
+# 4096 ~1.1 n^2) — wider panels also keep the trace-unrolled chain short
+# enough to compile in minutes at nb ~ 15k.
+_CHOL_BLOCK = 2048
+
+
+def _batched_tri_inv(La):
+    """La^-1 for batched lower-triangular La [k, nb, nb]."""
+    nb = La.shape[-1]
+    if nb >= _INPLACE_MIN_NB:
+        from gpscore.ops.block_cholesky import tri_inverse_lower
+
+        return tri_inverse_lower(La)
+    eye = jnp.eye(nb, dtype=La.dtype)
+    return _bsolve(La, jnp.broadcast_to(eye, La.shape), 0)
+
+
+def _chol_inplace_2d(A, b):
+    """Lower Cholesky of one [m, m] SPD block, m % b == 0, potri-style:
+    left-looking blocked factorization as a static-offset dynamic-update-slice
+    chain on one buffer, inner accumulations scan-serialized, leaf cholesky +
+    panel inverse at b x b (gpscore/ops/potri_inplace.py stage 1, without the
+    Gram generation — here the source matrix is given)."""
+    from jax import lax
+    from jax.scipy.linalg import solve_triangular
+
+    m = A.shape[0]
+    eye_b = jnp.eye(b, dtype=A.dtype)
+    W = jnp.zeros_like(A)
+    for pi in range(m // b):
+        s = pi * b
+        rem = m - s
+        P = lax.dynamic_slice(A, (s, s), (rem, b))
+        if pi:
+
+            def body(Pc, j, W=W, s=s, rem=rem):
+                col = lax.dynamic_slice(W, (s, j), (rem, b))
+                top = lax.slice(col, (0, 0), (b, b))
+                return Pc - matmul(col, top.T), None
+
+            P, _ = lax.scan(body, P, b * jnp.arange(pi))
+        Ljj = jnp.linalg.cholesky(lax.slice(P, (0, 0), (b, b)))
+        if rem > b:
+            Ljj_inv = solve_triangular(Ljj, eye_b, lower=True)
+            below = matmul(lax.slice(P, (b, 0), (rem, b)), Ljj_inv.T)
+            col = jnp.concatenate([Ljj, below], axis=0)
+        else:
+            col = Ljj
+        W = lax.dynamic_update_slice(W, col, (s, s))
+    return W
+
+
+def _pad_blockdiag_identity(A, nb_pad):
+    """[k, nb, nb] -> [k, nb_pad, nb_pad] as blockdiag(A_f, I) per fold."""
+    k, nb, _ = A.shape
+    if nb_pad == nb:
+        return A
+    out = jnp.zeros((k, nb_pad, nb_pad), A.dtype)
+    out = out.at[:, :nb, :nb].set(A)
+    idx = jnp.arange(nb, nb_pad)
+    return out.at[:, idx, idx].set(1.0)
+
+
+def _fold_chol_inv(A):
+    """(La, Li) for batched SPD A [k, nb, nb], padded to a multiple of the
+    panel width when the in-place pipeline engages.
+
+    Returned factors are [k, nb_pad, nb_pad] with blockdiag(·, I) padding
+    (chol(blockdiag(A, I)) = blockdiag(chol(A), I), so the real block is
+    exact and every padded diagonal entry is 1 — log-dets need no mask).
+    """
+    from gpscore.ops.block_cholesky import tri_inverse_lower
+
+    nb = A.shape[-1]
+    if nb < _INPLACE_MIN_NB:
+        La = jnp.linalg.cholesky(A)
+        return La, _batched_tri_inv(La)
+    b = _CHOL_BLOCK
+    nb_pad = -(-nb // b) * b
+    Ap = _pad_blockdiag_identity(A, nb_pad)
+    # Feed the chain the TRANSPOSED (identical, A is symmetric) blocks: the
+    # factorization leaves prefer column-major operands, and without the
+    # transpose XLA's layout assignment propagates that preference through
+    # the fold slices into the fused core's whole K^-1 DUS chain, forcing a
+    # full n^2 relayout copy of K^-1 next to K^-1 itself (read the measured
+    # layout story in the module docstring); the transpose absorbs the flip
+    # as a bitcast at the fold-block boundary instead.
+    ApT = jnp.swapaxes(Ap, -1, -2)
+    La = jnp.stack([_chol_inplace_2d(ApT[f], b) for f in range(A.shape[0])])
+    return La, tri_inverse_lower(La)
+
+
+def _zero_pad_cols(v, nb_pad):
+    """Zero-pad the last axis of [k, nb] (or middle axis of [k, nb, S])."""
+    nb = v.shape[1]
+    if nb_pad == nb:
+        return v
+    pad = [(0, 0)] * v.ndim
+    pad[1] = (0, nb_pad - nb)
+    return jnp.pad(v, pad)
+
+
+def _stats_forward(A, a, eps, want_inv_diag):
+    """(FoldStats, (La, Li)) — everything downstream of the factorization is a
+    GEMM against the explicit panel inverse Li (no solve expanders)."""
+    nb = a.shape[-1]
+    La, Li = _fold_chol_inv(A)
+    nb_pad = Li.shape[-1]
+    a_p = _zero_pad_cols(a, nb_pad)
+    # The batched matvecs sit behind optimization_barriers: XLA otherwise
+    # fuses them with a dozen surrounding ops into one kernel whose
+    # scoped-vmem tiles blow the 16 MB budget at nb ~ 4k ("should not be
+    # possible to run out of scoped vmem" compile error).
+    w = matmul(Li, jax.lax.optimization_barrier(a_p)[..., None])
+    w = jax.lax.optimization_barrier(w)
+    e = matmul(jnp.swapaxes(Li, -1, -2), w)[..., 0][:, :nb]
+    # padded diagonal entries are exactly 1 -> log contributes 0; no mask.
+    half_logdet = jnp.sum(
+        jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1
+    )
+    if want_inv_diag:
+        inv_diag = jnp.sum(Li * Li, axis=-2)[:, :nb]  # column sums of squares
+    else:  # skip reading the inverse columns DSS/ES never consume
+        inv_diag = jnp.zeros(a.shape, A.dtype)
+    eps_p = _zero_pad_cols(eps, nb_pad)
+    z = jnp.swapaxes(
+        matmul(jnp.swapaxes(Li, -1, -2), eps_p), -1, -2
+    )[:, :, :nb]  # (La^-T eps)^T
+    return FoldStats(e, half_logdet, inv_diag, z), (La, Li)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fold_precision_stats(A, a, eps, want_inv_diag: bool = True) -> FoldStats:
+    """Fold-conditional statistics with closed-form adjoints (module docstring).
+
+    A: [k, nb, nb] SPD fold precision blocks; a: [k, nb] fold slices of
+    K_hat^-1 y; eps: [k, nb, S] standard normals (S = 0 for non-ES rules).
+    With ``want_inv_diag=False`` (static) the ``inv_diag`` output is zeros.
+    Differentiable w.r.t. A, a, and eps.
+    """
+    stats, _ = _stats_forward(A, a, eps, want_inv_diag)
+    return stats
+
+
+def _fps_fwd(A, a, eps, want_inv_diag):
+    stats, (La, Li) = _stats_forward(A, a, eps, want_inv_diag)
+    # Residuals: the factor inverse (all adjoints are GEMMs against it) plus
+    # La only when the sample path needs the Cholesky VJP; A itself is NOT
+    # kept — nothing downstream of the factorization re-reads it.
+    La_res = La if eps.shape[-1] else None
+    return stats, (Li, La_res, a, eps, stats.e)
+
+
+def _sym(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def _phi(X):
+    """Murray (2016) Phi: lower triangle with halved diagonal."""
+    return jnp.tril(X) - 0.5 * jnp.tril(jnp.triu(X))
+
+
+def _fps_bwd(want_inv_diag, res, cot):
+    Li, La, a, eps, e = res
+    e_bar, hld_bar, d_bar, z_bar = cot
+    k, nb = a.shape
+    nb_pad = Li.shape[-1]
+
+    # Padded factors are blockdiag(real, I); padding every cotangent with
+    # zeros and slicing A_bar back to the real block is exact.
+    e_bar_p = _zero_pad_cols(e_bar, nb_pad)
+    e_p = _zero_pad_cols(e, nb_pad)
+    Ainv = matmul(jnp.swapaxes(Li, -1, -2), Li)
+
+    u = matmul(  # barriered matvec — see _stats_forward note
+        Ainv, jax.lax.optimization_barrier(e_bar_p)[..., None]
+    )[..., 0]
+    u = jax.lax.optimization_barrier(u)
+    a_bar = u[:, :nb]
+    A_bar = -_sym(u[..., None] * e_p[..., None, :])
+    A_bar = A_bar + 0.5 * hld_bar[..., None, None] * Ainv
+    if want_inv_diag:
+        d_bar_p = _zero_pad_cols(d_bar, nb_pad)
+        A_bar = A_bar - matmul(Ainv * d_bar_p[:, None, :], Ainv)
+
+    if eps.shape[-1]:
+        # z = La^-T eps (per fold, columns of eps are draws). With W = La^-T:
+        #   W_bar  = Y_bar eps^T,  Y_bar = z_bar^T
+        #   La_bar = tril(-La^-T W_bar^T La^-T)      (M = La^-1 inverse rule)
+        #   A_bar += 1/2 La^-T (P + P^T) La^-1,  P = Phi(La^T La_bar)
+        eps_p = _zero_pad_cols(eps, nb_pad)
+        Y_bar = _zero_pad_cols(
+            jnp.swapaxes(z_bar, -1, -2), nb_pad
+        )  # [k, nb_pad, S]
+        W_bar = matmul(Y_bar, jnp.swapaxes(eps_p, -1, -2))  # [k, nb_pad, ^2]
+        LiT = jnp.swapaxes(Li, -1, -2)  # La^-T
+        La_bar = jnp.tril(
+            -matmul(LiT, matmul(jnp.swapaxes(W_bar, -1, -2), LiT))
+        )
+        P = _phi(matmul(jnp.swapaxes(La, -1, -2), La_bar))
+        A_bar = A_bar + 0.5 * matmul(LiT, matmul(P + jnp.swapaxes(P, -1, -2), Li))
+        eps_bar = matmul(Li, Y_bar)[:, :nb, :]  # W^T Y_bar = La^-1 z_bar^T
+    else:
+        eps_bar = jnp.zeros_like(eps)
+
+    return A_bar[:, :nb, :nb], a_bar, eps_bar
+
+
+fold_precision_stats.defvjp(_fps_fwd, _fps_bwd)

@@ -326,9 +326,21 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
         size = Kinv_b.shape[0]
         # rows of K^-1 blockdiag(A_bar): per fold f, Kinv_b[:, cols_f] @ A_bar_f
         # (padded columns of K^-1 carry zero cotangent — A_bar has no pad fold).
-        folded = Kinv_b[:, :n_real].reshape(size, fold_k, nf)
-        M = jnp.einsum("sfi,fij->sfj", folded, A_bar, precision=MM_PRECISION)
-        M = M.reshape(size, n_real)
+        # Static fold loop over contiguous column slices, NOT a single
+        # reshape-to-[size, fold_k, nf] einsum: the 3-D einsum operand makes
+        # XLA assign the scan's whole Kinv input a fold-tiled physical layout,
+        # materializing a full n^2 layout copy of K^-1 next to K^-1 itself
+        # (measured +1 n^2 at n = 16k; the slices below are O(size * nf)).
+        M = jnp.concatenate(
+            [
+                matmul(
+                    jax.lax.slice(Kinv_b, (0, f * nf), (size, (f + 1) * nf)),
+                    A_bar[f],
+                )
+                for f in range(fold_k)
+            ],
+            axis=1,
+        )
         if n_pad > n_real:
             M = jnp.concatenate(
                 [M, jnp.zeros((size, n_pad - n_real), M.dtype)], axis=1

@@ -1,0 +1,225 @@
+"""gpscore.ops.fold_core: closed-form-adjoint fold consumer.
+
+The primitive replaces the autodiffed batched-Cholesky fold consumer of the
+large-n DSS/ES/kc objectives (reference fold scoring,
+`kin40k-FULL-compare.py:500-543`, `:616-663`;
+`KIN40K-COMPARE-ALL-FITC-20.py:667-720`); these tests pin its outputs and
+every VJP against plain autodiff of the same math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpscore.ops.fold_core import fold_precision_stats
+
+
+def _spd_batch(rng, k, nb):
+    M = rng.standard_normal((k, nb, nb)).astype(np.float32)
+    return jnp.asarray(M @ np.swapaxes(M, -1, -2) + 3.0 * np.eye(nb, dtype=np.float32))
+
+
+def _ref_stats(A, a, eps):
+    """Plain-autodiff reference of the primitive's math (jnp, no custom VJP)."""
+    La = jnp.linalg.cholesky(A)
+    sol = jax.vmap(
+        lambda L, b: jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    )
+    solT = jax.vmap(
+        lambda L, b: jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1)
+    )
+    e = solT(La, sol(La, a[..., None]))[..., 0]
+    hld = jnp.sum(jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1)
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    Li = sol(La, jnp.broadcast_to(eye, A.shape))
+    inv_diag = jnp.sum(Li * Li, axis=-2)
+    z = jnp.swapaxes(solT(La, eps), -1, -2)
+    return e, hld, inv_diag, z
+
+
+class TestFoldPrecisionStats:
+    def test_values_match_reference(self, rng):
+        k, nb, S = 3, 16, 7
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((k, nb, S)).astype(np.float32))
+        got = fold_precision_stats(A, a, eps)
+        want = _ref_stats(A, a, eps)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5
+            )
+
+    def test_vjp_matches_autodiff(self, rng):
+        """Random scalar functional of all four outputs: cotangents w.r.t.
+        A (symmetric part), a, and eps match plain autodiff."""
+        k, nb, S = 2, 12, 5
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((k, nb, S)).astype(np.float32))
+        w = [
+            jnp.asarray(rng.standard_normal(s).astype(np.float32))
+            for s in [(k, nb), (k,), (k, nb), (k, S, nb)]
+        ]
+
+        def f_new(A, a, eps):
+            o = fold_precision_stats(A, a, eps)
+            return sum(jnp.sum(wi * oi) for wi, oi in zip(w, o))
+
+        def f_ref(A, a, eps):
+            o = _ref_stats(A, a, eps)
+            return sum(jnp.sum(wi * oi) for wi, oi in zip(w, o))
+
+        gn = jax.grad(f_new, argnums=(0, 1, 2))(A, a, eps)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(A, a, eps)
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gn[0])), np.asarray(sym(gr[0])), rtol=2e-4, atol=2e-4
+        )
+        for i in (1, 2):
+            np.testing.assert_allclose(
+                np.asarray(gn[i]), np.asarray(gr[i]), rtol=2e-4, atol=2e-4
+            )
+
+    def test_want_inv_diag_false_skips_output(self, rng):
+        k, nb = 2, 8
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        eps = jnp.zeros((k, nb, 0), jnp.float32)
+        got = fold_precision_stats(A, a, eps, False)
+        assert np.all(np.asarray(got.inv_diag) == 0.0)
+        want = _ref_stats(A, a, eps)
+        np.testing.assert_allclose(np.asarray(got.e), np.asarray(want[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+        # grads of the surviving outputs are unaffected by the flag
+        def f(A, a):
+            o = fold_precision_stats(A, a, eps, False)
+            return jnp.sum(o.e) + jnp.sum(o.half_logdet)
+
+        def f_ref(A, a):
+            e, hld, _, _ = _ref_stats(A, a, eps)
+            return jnp.sum(e) + jnp.sum(hld)
+
+        gn = jax.grad(f, argnums=(0, 1))(A, a)
+        gr = jax.grad(f_ref, argnums=(0, 1))(A, a)
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gn[0])), np.asarray(sym(gr[0])), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(gn[1]), np.asarray(gr[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestInplaceFoldFactorization:
+    """The potri-style in-place fold Cholesky path (large nb dispatch),
+    exercised at toy size by lowering the thresholds, including non-divisible
+    nb (identity-padded factors)."""
+
+    @pytest.mark.parametrize("nb", [16, 12])  # 12: pad 12 -> 16 with block 8
+    def test_values_and_vjp_match_reference(self, rng, monkeypatch, nb):
+        import gpscore.ops.fold_core as fc
+
+        monkeypatch.setattr(fc, "_INPLACE_MIN_NB", 1)
+        monkeypatch.setattr(fc, "_CHOL_BLOCK", 8)
+        k, S = 3, 5
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((k, nb, S)).astype(np.float32))
+        got = fold_precision_stats(A, a, eps)
+        want = _ref_stats(A, a, eps)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4
+            )
+
+        wts = [
+            jnp.asarray(rng.standard_normal(s).astype(np.float32))
+            for s in [(k, nb), (k,), (k, nb), (k, S, nb)]
+        ]
+
+        def f_new(A, a, eps):
+            o = fold_precision_stats(A, a, eps)
+            return sum(jnp.sum(wi * oi) for wi, oi in zip(wts, o))
+
+        def f_ref(A, a, eps):
+            o = _ref_stats(A, a, eps)
+            return sum(jnp.sum(wi * oi) for wi, oi in zip(wts, o))
+
+        gn = jax.grad(f_new, argnums=(0, 1, 2))(A, a, eps)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(A, a, eps)
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gn[0])), np.asarray(sym(gr[0])), rtol=5e-4, atol=5e-4
+        )
+        for i in (1, 2):
+            np.testing.assert_allclose(
+                np.asarray(gn[i]), np.asarray(gr[i]), rtol=5e-4, atol=5e-4
+            )
+
+
+class TestFoldStatsObjectives:
+    """The large-n fold-stats objective path (make_objective dispatch)."""
+
+    def _problem(self, rng, n=64, d=2):
+        from gpscore.utils.params import GPParams
+
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        p = GPParams(jnp.float32(0.3), jnp.zeros(d), jnp.float32(-1.0))
+        return x, y, p
+
+    def test_es_fold_stats_matches_manual_reference(self, rng, monkeypatch):
+        """ES through the fold-stats path == hand-built autodiff ES with the
+        SAME eps draw (the stochastic rule can't be compared across different
+        sampling layouts, so the reference replicates the draw exactly)."""
+        import gpscore.fit.objectives as obj
+        from gpscore.fit import make_objective
+        from gpscore.ops.kernels import ard_gram
+        from gpscore.ops.linalg import kfold_solve_blocks
+        from gpscore.scoring.rules import energy_score_core
+
+        n, d, fk, S = 64, 2, 4, 11
+        x, y, p = self._problem(rng, n, d)
+        key = jax.random.PRNGKey(7)
+
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        loss = make_objective("es", model="exact", fold_k=fk, num_sim=S)
+        got_v, got_g = jax.value_and_grad(loss)(p, x, y, key)
+
+        nb = n // fk
+        eps = jax.random.normal(key, (fk, nb, 2 * S), x.dtype)
+
+        def ref(p, x, y):
+            K = ard_gram(x, x, p.log_signal_sq, p.log_length)
+            a, A = kfold_solve_blocks(
+                K + jnp.exp(p.log_noise_sq) * jnp.eye(n), y, fk
+            )
+            e, _, _, z_all = _ref_stats(A, a.reshape(fk, nb), eps)
+            z, zp = z_all[:, :S], z_all[:, S:]
+            per_fold = jax.vmap(
+                lambda zz, zzp, rr: energy_score_core(zz, zzp, rr, S, 1.0)
+            )(z, zp, -e)
+            return jnp.sum(per_fold)
+
+        want_v, want_g = jax.value_and_grad(ref)(p, x, y)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-4
+            )
+
+    @pytest.mark.parametrize("rule", ["dss", "kc", "es"])
+    def test_fold_stats_objective_descends(self, rng, monkeypatch, rule):
+        import gpscore.fit.objectives as obj
+        from gpscore.fit import fit_gd, make_objective
+
+        x, y, p = self._problem(rng, n=64)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        loss = make_objective(rule, model="exact")
+        res = fit_gd(loss, p, x, y, iters=12, lr=1e-3,
+                     key=jax.random.PRNGKey(0))
+        h = np.asarray(res.loss_history)
+        assert np.all(np.isfinite(h))
+        assert h[-1] < h[0]
