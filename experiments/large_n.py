@@ -41,6 +41,7 @@ from gpscore.fit.schedules import SCHEDULES, Schedule
 from gpscore.metrics.evaluation import evaluate_predictive
 from gpscore.models.exact import exact_predictive_diag_large
 from gpscore.utils.params import init_unit_params
+from gpscore.utils.precision import matmul_mode
 
 RULES = ("crps", "logs", "interval", "nlml", "dss", "es", "kc")
 # Sum-scaled objectives whose reference lr (tuned at n=500) scales ~1/n.
@@ -87,6 +88,12 @@ def main(argv=None):
     ap.add_argument("--segment-iters", type=int, default=5,
                     help="host-chunk size (tunnel kills multi-minute programs)")
     ap.add_argument("--lr-scale", type=float, default=1.0)
+    ap.add_argument("--matmul", default="highest",
+                    choices=["highest", "high", "fast"],
+                    help="contraction precision for the FIT (gpscore.utils."
+                         "precision.set_matmul_mode): 'high' ~1.8x, 'fast' "
+                         "~3x the GEMM phases on v5e; evaluation always runs "
+                         "'highest'")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -109,16 +116,17 @@ def main(argv=None):
         t0 = time.time()
         losses = []
         seg_times = []
-        for s, it in enumerate(sizes):
-            fn = seg_fns.setdefault(it, jax.jit(
-                lambda p, k, _it=it: fit_gd(
-                    loss, p, x, y, iters=_it, lr=sched.lr, key=k)
-            ))
-            ts = time.time()
-            res = fn(params, jax.random.fold_in(key, s))
-            params = res.params
-            losses.extend(np.asarray(res.loss_history).tolist())  # readback
-            seg_times.append((time.time() - ts, it))
+        with matmul_mode(args.matmul):  # trace-time: affects the fit only
+            for s, it in enumerate(sizes):
+                fn = seg_fns.setdefault(it, jax.jit(
+                    lambda p, k, _it=it: fit_gd(
+                        loss, p, x, y, iters=_it, lr=sched.lr, key=k)
+                ))
+                ts = time.time()
+                res = fn(params, jax.random.fold_in(key, s))
+                params = res.params
+                losses.extend(np.asarray(res.loss_history).tolist())  # readback
+                seg_times.append((time.time() - ts, it))
         wall = time.time() - t0
         # first segment pays (remote) compilation; steady-state = best segment
         steady = min(t / it for t, it in seg_times)
@@ -127,6 +135,7 @@ def main(argv=None):
         m = evaluate_predictive(pred.mean, pred.cov, yt, y)
         rec = {
             "n": args.n, "iters": sched.iters, "lr": sched.lr,
+            "matmul": args.matmul,
             "fit_wall_s": round(wall, 2),
             "s_per_iter_steady": round(steady, 3),
             "loss_first": losses[0], "loss_last": losses[-1],

@@ -32,7 +32,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from gpscore.utils.precision import matmul
+from gpscore.utils.precision import matmul, matmul_crit
 
 # Below this size, recursion overhead beats GEMM gains; hand off to the builtin.
 _BASE = 512
@@ -103,8 +103,9 @@ def blocked_cholesky(A, base: int = _BASE):
     L21 = solve_triangular(L11, jnp.swapaxes(A21, -1, -2), lower=True).swapaxes(
         -1, -2
     )
-    # Trailing update: the big MXU GEMM of the level.
-    S = A22 - matmul(L21, jnp.swapaxes(L21, -1, -2))
+    # Trailing update: the big MXU GEMM of the level. matmul_crit: one-pass
+    # bf16 Schur drift can NaN the recursive leaf cholesky in "fast" mode.
+    S = A22 - matmul_crit(L21, jnp.swapaxes(L21, -1, -2))
     L22 = blocked_cholesky(S, base)
     top = jnp.concatenate([L11, jnp.zeros_like(A21).swapaxes(-1, -2)], axis=-1)
     bot = jnp.concatenate([L21, L22], axis=-1)

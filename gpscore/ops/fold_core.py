@@ -45,7 +45,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gpscore.utils.precision import MM_PRECISION, matmul
+from gpscore.utils.precision import matmul, matmul_crit
 
 
 class FoldStats(NamedTuple):
@@ -114,13 +114,16 @@ def _chol_inplace_2d(A, b):
             def body(Pc, j, W=W, s=s, rem=rem):
                 col = lax.dynamic_slice(W, (s, j), (rem, b))
                 top = lax.slice(col, (0, 0), (b, b))
-                return Pc - matmul(col, top.T), None
+                # matmul_crit: see gpscore/ops/potri_inplace.py — one-pass
+                # bf16 Schur drift NaNs the leaf cholesky in "fast" mode.
+                return Pc - matmul_crit(col, top.T), None
 
             P, _ = lax.scan(body, P, b * jnp.arange(pi))
         Ljj = jnp.linalg.cholesky(lax.slice(P, (0, 0), (b, b)))
         if rem > b:
             Ljj_inv = solve_triangular(Ljj, eye_b, lower=True)
-            below = matmul(lax.slice(P, (b, 0), (rem, b)), Ljj_inv.T)
+            # matmul_crit: feeds later Schur updates (potri_inplace.py note).
+            below = matmul_crit(lax.slice(P, (b, 0), (rem, b)), Ljj_inv.T)
             col = jnp.concatenate([Ljj, below], axis=0)
         else:
             col = Ljj

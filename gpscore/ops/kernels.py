@@ -22,13 +22,19 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gpscore.utils.precision import matmul
+from gpscore.utils.precision import matmul_crit
 
 
 def _cross_sqdist(x, xp):
     """-(squared distance) via the reference's expand-and-subtract trick:
-    2 x.x' - |x|^2 - |x'|^2 (negative squared distance, computed on the MXU)."""
-    res = 2.0 * matmul(x, xp.T)
+    2 x.x' - |x|^2 - |x'|^2 (negative squared distance, computed on the MXU).
+
+    matmul_crit (mode floored at 3-pass bf16): one-pass Gram errors behave
+    like a random perturbation of K with spectral norm ~ eps * signal * sqrt(n)
+    (~6 at n = 30k), which swamps the noise diagonal, makes K_hat indefinite,
+    and NaNs the Cholesky — measured, not hypothetical. The distance GEMM is
+    O(n^2 d): pinning it costs nothing next to the O(n^3) solve phases."""
+    res = 2.0 * matmul_crit(x, xp.T)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # [n, 1]
     xp_sq = jnp.sum(xp * xp, axis=-1, keepdims=True).T  # [1, m]
     return res - x_sq - xp_sq

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from gpscore.ops import linalg
 from gpscore.ops.block_cholesky import tri_inverse_lower
 from gpscore.ops.kernels import ard_gram, gram
-from gpscore.utils.precision import MM_PRECISION, matmul
+from gpscore.utils.precision import matmul
 
 
 # At and above this n, the forward routes through the in-place potri pipeline

@@ -53,7 +53,7 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from gpscore.ops.kernels import ard_gram
-from gpscore.utils.precision import MM_PRECISION, matmul
+from gpscore.utils.precision import matmul, matmul_crit, mm_precision
 
 
 def pad_rows(x, n_pad: int):
@@ -106,7 +106,10 @@ def _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x, n_real, b):
             def body(Pc, j, W=W, s=s, m=m):
                 col = lax.dynamic_slice(W, (s, j), (m, b))
                 top = lax.slice(col, (0, 0), (b, b))
-                return Pc - matmul(col, top.T), None
+                # matmul_crit: one-pass bf16 drift in this Schur update turns
+                # leaf pivots negative and NaNs the factorization (observed
+                # at n = 30k in "fast" mode).
+                return Pc - matmul_crit(col, top.T), None
 
             P, _ = lax.scan(body, P, b * jnp.arange(pi))
         Ljj = jnp.linalg.cholesky(lax.slice(P, (0, 0), (b, b)))
@@ -119,7 +122,9 @@ def _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x, n_real, b):
             # (bounded memory; the whole current pipeline already forms the
             # full explicit L^-1, so a panel inverse is no looser).
             Ljj_inv = solve_triangular(Ljj, eye_b, lower=True)
-            below = matmul(lax.slice(P, (b, 0), (m, b)), Ljj_inv.T)
+            # matmul_crit: this panel feeds every later Schur update — its
+            # one-pass errors compound into indefinite trailing blocks.
+            below = matmul_crit(lax.slice(P, (b, 0), (m, b)), Ljj_inv.T)
             col = jnp.concatenate([Ljj, below], axis=0)
         else:
             col = Ljj
@@ -175,7 +180,7 @@ def _lauum_inplace(W, b):
             rcol = lax.slice(rows, (0, 0), (b, b))
             return (
                 acc + jnp.einsum("rm,rc->mc", rows, rcol,
-                                 precision=MM_PRECISION),
+                                 precision=mm_precision()),
                 None,
             )
 

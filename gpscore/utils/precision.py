@@ -3,19 +3,88 @@
 TPUs natively compute fp32 matmuls through multi-pass bf16 on the MXU unless told
 otherwise. The parity targets (posterior moments <= 1e-6 vs an fp64 oracle; see
 /root/repo/BASELINE.md) require full fp32 accumulation, so every contraction in the
-library routes through :func:`matmul` with ``Precision.HIGHEST``.
+library routes through :func:`matmul` with ``Precision.HIGHEST`` by default.
 
 The reference runs everything in torch.FloatTensor (fp32 CPU,
 `SIMPLE-DATA FULL-comapre.py:165`), so fp32-with-exact-passes is the faithful and
 sufficient choice; fp64 is reserved for the NumPy/SciPy test oracle.
+
+Opt-in reduced-precision modes
+------------------------------
+``matmul_mode("high")`` / ``matmul_mode("fast")`` switch the library's
+contractions to 3-pass / 1-pass bf16 multiplies with fp32 accumulation.
+Measured on one v5e chip (16k^3 GEMM):
+
+    mode       Precision   TF/s   max rel err vs HIGHEST
+    highest    HIGHEST     27.1   —        (parity-grade default)
+    high       HIGH        49.8   1.3e-5   (below the documented 1e-4
+                                            fp32 solve-parity floor)
+    fast       DEFAULT    100.3   2.5e-3
+
+In "fast" mode, cancellation-critical contractions — the left-looking Schur
+updates inside the in-place Cholesky chains, where one-pass bf16 drift turns
+leaf pivots negative and NaNs the factorization (observed at n = 30k) — are
+floored at HIGH via :func:`matmul_crit`; everything else (triangular inverse,
+lauum, backward kernel-contraction GEMMs) runs one-pass. Gradient-descent
+hyperparameter fitting tolerates the noise; oracle-parity evaluation and
+final metrics should run in the default exact mode. The mode is read at
+TRACE time: functions already jitted keep the mode they were traced under.
 """
+
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
 
-# Exact fp32 MXU passes. Hot, bandwidth-bound Pallas kernels may locally choose
-# a cheaper mode, but all library-level jnp contractions use HIGHEST.
+# Exact fp32 MXU passes — the parity-grade default. Hot, bandwidth-bound
+# Pallas kernels may locally choose a cheaper mode, but all library-level jnp
+# contractions use HIGHEST unless a reduced mode is switched on.
 MM_PRECISION = jax.lax.Precision.HIGHEST
+
+_MODES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "fast": jax.lax.Precision.DEFAULT,
+}
+_mode = "highest"
+
+
+def set_matmul_mode(mode: str) -> None:
+    """Set the library-wide contraction mode: "highest" (exact fp32 passes,
+    default), "high" (3-pass bf16), or "fast" (one-pass bf16; fp32
+    accumulation everywhere, critical contractions floored at 3-pass)."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {sorted(_MODES)}, got {mode!r}")
+    global _mode
+    _mode = mode
+
+
+def get_matmul_mode() -> str:
+    return _mode
+
+
+@contextmanager
+def matmul_mode(mode: str):
+    """Context manager form of :func:`set_matmul_mode` (trace-time scope)."""
+    prev = _mode
+    set_matmul_mode(mode)
+    try:
+        yield
+    finally:
+        set_matmul_mode(prev)
+
+
+def mm_precision():
+    """The active contraction precision (read at trace time)."""
+    return _MODES[_mode]
+
+
+def mm_precision_crit():
+    """Precision for cancellation-critical contractions: the active mode,
+    floored at HIGH (one-pass bf16 NaNs in-place Cholesky chains)."""
+    if _mode == "fast":
+        return jax.lax.Precision.HIGH
+    return _MODES[_mode]
 
 
 def default_dtype():
@@ -23,5 +92,11 @@ def default_dtype():
 
 
 def matmul(a, b):
-    """fp32 matmul with exact (non-bf16) MXU passes."""
-    return jnp.matmul(a, b, precision=MM_PRECISION)
+    """fp32 matmul; exact (non-bf16) MXU passes unless a reduced mode is on."""
+    return jnp.matmul(a, b, precision=mm_precision())
+
+
+def matmul_crit(a, b):
+    """Matmul for cancellation-critical accumulations (Cholesky Schur
+    updates): active mode floored at 3-pass bf16."""
+    return jnp.matmul(a, b, precision=mm_precision_crit())
