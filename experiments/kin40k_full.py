@@ -23,6 +23,7 @@ from experiments.common import run_sweep, save_results
 from gpscore.data import kin40k_replicate_split, load_kin40k
 from gpscore.fit.schedules import SCHEDULES, rules_for
 from gpscore.utils.params import init_rand_params
+from gpscore.utils.precision import matmul_mode
 
 
 def main(argv=None):
@@ -51,6 +52,10 @@ def main(argv=None):
                          "lrs are tuned at n=500; NLML/DSS/ES are per-sum "
                          "(not per-mean) objectives whose gradients scale "
                          "with n, so at --n-train N use ~500/N for them")
+    ap.add_argument("--matmul", default="highest",
+                    choices=["highest", "high", "fast"],
+                    help="contraction precision for the fits "
+                         "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
                     help="directory for fitted-parameter checkpoints")
@@ -82,12 +87,13 @@ def main(argv=None):
             s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)),
                         s.lr * args.lr_scale, s.lr_inducing)
         schedules[r] = s
-    results = run_sweep(
-        args.rules, "exact", schedules, make_data, make_params,
-        replicates=args.replicates, d=8,
-        save_params_dir=args.save_params,
-        segment_iters=args.segment_iters,
-    )
+    with matmul_mode(args.matmul):
+        results = run_sweep(
+            args.rules, "exact", schedules, make_data, make_params,
+            replicates=args.replicates, d=8,
+            save_params_dir=args.save_params,
+            segment_iters=args.segment_iters,
+        )
     save_results(results, args.out)
     return results
 

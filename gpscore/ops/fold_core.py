@@ -225,11 +225,12 @@ def fold_precision_stats(A, a, eps, want_inv_diag: bool = True) -> FoldStats:
 
 def _fps_fwd(A, a, eps, want_inv_diag):
     stats, (La, Li) = _stats_forward(A, a, eps, want_inv_diag)
-    # Residuals: the factor inverse (all adjoints are GEMMs against it) plus
-    # La only when the sample path needs the Cholesky VJP; A itself is NOT
-    # kept — nothing downstream of the factorization re-reads it.
-    La_res = La if eps.shape[-1] else None
-    return stats, (Li, La_res, a, eps, stats.e)
+    # Residual: the factor inverse only — every adjoint is a GEMM against
+    # it, and the sample path's Cholesky VJP recomputes La = Li^-1 via the
+    # GEMM recursion (k nb^3/3 FLOPs for an n^2/k buffer NOT kept live
+    # between forward and backward). A itself is not kept either.
+    del La
+    return stats, (Li, a, eps, stats.e)
 
 
 def _sym(M):
@@ -242,7 +243,7 @@ def _phi(X):
 
 
 def _fps_bwd(want_inv_diag, res, cot):
-    Li, La, a, eps, e = res
+    Li, a, eps, e = res
     e_bar, hld_bar, d_bar, z_bar = cot
     k, nb = a.shape
     nb_pad = Li.shape[-1]
@@ -278,6 +279,9 @@ def _fps_bwd(want_inv_diag, res, cot):
         La_bar = jnp.tril(
             -matmul(LiT, matmul(jnp.swapaxes(W_bar, -1, -2), LiT))
         )
+        from gpscore.ops.block_cholesky import tri_inverse_lower
+
+        La = tri_inverse_lower(Li)  # recomputed, not a residual
         P = _phi(matmul(jnp.swapaxes(La, -1, -2), La_bar))
         A_bar = A_bar + 0.5 * matmul(LiT, matmul(P + jnp.swapaxes(P, -1, -2), Li))
         eps_bar = matmul(Li, Y_bar)[:, :nb, :]  # W^T Y_bar = La^-1 z_bar^T
