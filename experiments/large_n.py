@@ -94,6 +94,10 @@ def main(argv=None):
                          "precision.set_matmul_mode): 'high' ~1.8x, 'fast' "
                          "~3x the GEMM phases on v5e; evaluation always runs "
                          "'highest'")
+    ap.add_argument("--polish-iters", type=int, default=0,
+                    help="after a reduced-precision fit, run this many final "
+                         "GD iterations at 'highest' (fast-fit -> "
+                         "exact-polish; ignored when --matmul highest)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -127,6 +131,16 @@ def main(argv=None):
                 params = res.params
                 losses.extend(np.asarray(res.loss_history).tolist())  # readback
                 seg_times.append((time.time() - ts, it))
+        if args.polish_iters and args.matmul != "highest":
+            # exact-precision polish: re-anchors the optimum after the
+            # reduced-precision descent (modes are trace-time, so this is a
+            # separately compiled program).
+            res = jax.jit(
+                lambda p, k: fit_gd(loss, p, x, y, iters=args.polish_iters,
+                                    lr=sched.lr, key=k)
+            )(params, jax.random.fold_in(key, 10_000))
+            params = res.params
+            losses.extend(np.asarray(res.loss_history).tolist())
         wall = time.time() - t0
         # first segment pays (remote) compilation; steady-state = best segment
         steady = min(t / it for t, it in seg_times)
