@@ -242,10 +242,13 @@ def _phi(X):
     return jnp.tril(X) - 0.5 * jnp.tril(jnp.triu(X))
 
 
-def _fps_bwd(want_inv_diag, res, cot):
-    Li, a, eps, e = res
+def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
+    """Shared closed-form fold adjoints (module docstring math).
+
+    Returns (A_bar [k, nb, nb] real block, a_bar [k, nb], eps_bar) from the
+    factor inverse Li [k, nb_pad, nb_pad] and the FoldStats cotangents.
+    """
     e_bar, hld_bar, d_bar, z_bar = cot
-    k, nb = a.shape
     nb_pad = Li.shape[-1]
 
     # Padded factors are blockdiag(real, I); padding every cotangent with
@@ -291,4 +294,10 @@ def _fps_bwd(want_inv_diag, res, cot):
     return A_bar[:, :nb, :nb], a_bar, eps_bar
 
 
+def _fps_bwd(want_inv_diag, res, cot):
+    Li, a, eps, e = res
+    return _fold_adjoints(Li, e, eps, cot, want_inv_diag, a.shape[-1])
+
+
 fold_precision_stats.defvjp(_fps_fwd, _fps_bwd)
+
