@@ -91,6 +91,7 @@ def run_sweep(
     verbose: bool = True,
     save_params_dir: Optional[str] = None,
     segment_iters: Optional[int] = None,
+    matmul: str = "highest",
 ) -> Dict[str, Dict[str, float]]:
     """Run all (rule x replicate) fits; return per-rule replicate-mean metrics.
 
@@ -112,6 +113,20 @@ def run_sweep(
     deterministic rules (for ``es`` the segment boundary re-derives the MC key
     stream — same distribution, different draws than the single-program fit).
     """
+    from gpscore.utils.precision import matmul_mode
+
+    with matmul_mode(matmul):
+        return _run_sweep_body(
+            rules, model, schedules, make_data, make_params, replicates, d,
+            kernel, fold_k, num_sim, seed, verbose, save_params_dir,
+            segment_iters,
+        )
+
+
+def _run_sweep_body(
+    rules, model, schedules, make_data, make_params, replicates, d,
+    kernel, fold_k, num_sim, seed, verbose, save_params_dir, segment_iters,
+):
     data = [make_data(j) for j in range(replicates)]
     stacked = tuple(
         jnp.stack([jnp.asarray(d_[i]) for d_ in data]) for i in range(4)

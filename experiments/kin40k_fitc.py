@@ -34,6 +34,10 @@ def main(argv=None):
                          "be divisible by 4 for the fold objectives)")
     ap.add_argument("--n-test", type=int, default=500)
     ap.add_argument("--data", default=None)
+    ap.add_argument("--matmul", default="highest",
+                    choices=["highest", "high", "fast"],
+                    help="contraction precision for the fits "
+                         "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
                     help="directory for fitted-parameter checkpoints")
@@ -77,6 +81,7 @@ def main(argv=None):
         args.rules, "fitc", schedules, make_data, make_params,
         replicates=args.replicates, d=8,
         save_params_dir=args.save_params,
+        matmul=args.matmul,
     )
     save_results(results, args.out)
     return results

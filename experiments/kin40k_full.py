@@ -23,7 +23,6 @@ from experiments.common import run_sweep, save_results
 from gpscore.data import kin40k_replicate_split, load_kin40k
 from gpscore.fit.schedules import SCHEDULES, rules_for
 from gpscore.utils.params import init_rand_params
-from gpscore.utils.precision import matmul_mode
 
 
 def main(argv=None):
@@ -87,13 +86,13 @@ def main(argv=None):
             s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)),
                         s.lr * args.lr_scale, s.lr_inducing)
         schedules[r] = s
-    with matmul_mode(args.matmul):
-        results = run_sweep(
-            args.rules, "exact", schedules, make_data, make_params,
-            replicates=args.replicates, d=8,
-            save_params_dir=args.save_params,
-            segment_iters=args.segment_iters,
-        )
+    results = run_sweep(
+        args.rules, "exact", schedules, make_data, make_params,
+        replicates=args.replicates, d=8,
+        save_params_dir=args.save_params,
+        segment_iters=args.segment_iters,
+        matmul=args.matmul,
+    )
     save_results(results, args.out)
     return results
 

@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--replicates", type=int, default=100)
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"],
                     choices=rules_for("simple_full"))
+    ap.add_argument("--matmul", default="highest",
+                    choices=["highest", "high", "fast"],
+                    help="contraction precision for the fits "
+                         "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-params", default=None,
                     help="directory for fitted-parameter checkpoints")
@@ -49,6 +53,7 @@ def main(argv=None):
         args.rules, "exact", schedules, make_data, make_params,
         replicates=args.replicates, d=1,
         save_params_dir=args.save_params,
+        matmul=args.matmul,
     )
     save_results(results, args.out)
     return results
