@@ -74,15 +74,19 @@ def exact_predictive_diag_large(
 
     - K_ff never materializes — the in-place Gram-fused Cholesky
       (:func:`gpscore.ops.potri_inplace.ard_gram_chol_inplace`) produces L in
-      one n x n buffer;
-    - test points stream in ``chunk``-sized blocks through triangular solves,
-      so the t x t covariance never exists.
+      one n x n buffer, which the in-place triangular inversion then
+      overwrites with L^-1;
+    - test points stream in ``chunk``-sized blocks through GEMMs against the
+      explicit L^-1 (an in-scan ``solve_triangular`` with a [n, chunk] RHS
+      goes through XLA's expander, whose panel-chain temps measured 32 GB at
+      n = 30,720 — double the chip), so the t x t covariance never exists.
 
     Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training
     goes through the fused LOO/k-fold/NLML cores).
     """
     from gpscore.ops.kernels import ard_gram
     from gpscore.ops.potri_inplace import (
+        _tri_inv_inplace,
         ard_gram_chol_inplace,
         pad_rows,
         zero_pad,
@@ -97,9 +101,9 @@ def exact_predictive_diag_large(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
         x_pad, n, block,
     )
-    solve = jax.scipy.linalg.solve_triangular
-    z = solve(L, y_pad.reshape(n_pad, 1), lower=True)
-    alpha = solve(L, z, lower=True, trans=1)[:, 0]
+    W = _tri_inv_inplace(L, block)  # L^-1, same buffer
+    z = matmul(W, y_pad.reshape(n_pad, 1))
+    alpha = matmul(W.T, z)[:, 0]  # K_hat^-1 y
     signal_sq = jnp.exp(params.log_signal_sq)
     noise_sq = params.noise_sq
     realmask = None
@@ -114,7 +118,7 @@ def exact_predictive_diag_large(
         if realmask is not None:
             ks = ks * realmask  # padded train rows contribute nothing
         mean_c = jnp.einsum("nc,n->c", ks, alpha, precision=MM_PRECISION)
-        V = solve(L, ks, lower=True)
+        V = matmul(W, ks)  # L^-1 K_f*
         var_c = noise_sq + signal_sq - jnp.sum(V * V, axis=0)
         return None, (mean_c, var_c)
 
