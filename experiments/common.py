@@ -64,16 +64,26 @@ def fit_and_eval(
 def eval_predictive_metrics(
     model: str, p: GPParams, train_x, train_y, test_x, test_y, kernel: str = "ard"
 ):
-    """Test-predictive §2.6 metric suite for fitted params (jit/vmap-safe)."""
-    if model == "exact":
-        k_ff = gram(train_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
-        k_sf = gram(test_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
-        k_ss = gram(test_x, test_x, p.log_signal_sq, p.log_length, kind=kernel)
-        pred = exact_predictive(k_sf, k_ff, k_ss, train_y, p.noise_sq)
-    else:
-        pred = fitc_predictive(train_x, train_y, test_x, p, kind=kernel)
-    var = jnp.diagonal(pred.cov)
-    return evaluate_predictive(pred.mean, var, test_y, train_y)
+    """Test-predictive §2.6 metric suite for fitted params (jit/vmap-safe).
+
+    Always traced under ``matmul_mode("highest")``: reported metrics are exact
+    regardless of any reduced contraction mode active around the *fit* (the
+    ``--matmul`` convention — reduced precision is for the GD iterations only;
+    ``experiments/large_n.py`` keeps its evaluation outside the context for the
+    same reason).
+    """
+    from gpscore.utils.precision import matmul_mode
+
+    with matmul_mode("highest"):
+        if model == "exact":
+            k_ff = gram(train_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
+            k_sf = gram(test_x, train_x, p.log_signal_sq, p.log_length, kind=kernel)
+            k_ss = gram(test_x, test_x, p.log_signal_sq, p.log_length, kind=kernel)
+            pred = exact_predictive(k_sf, k_ff, k_ss, train_y, p.noise_sq)
+        else:
+            pred = fitc_predictive(train_x, train_y, test_x, p, kind=kernel)
+        var = jnp.diagonal(pred.cov)
+        return evaluate_predictive(pred.mean, var, test_y, train_y)
 
 
 def run_sweep(

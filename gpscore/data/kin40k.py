@@ -74,8 +74,10 @@ def load_kin40k(path: Optional[str] = None) -> Kin40k:
     if path and os.path.exists(path):
         if path.endswith(".xlsx"):
             # The reference's format (`kin40k-FULL-compare.py:197-200`): sheets
-            # trainx/trainy/testx/testy. Needs an xlsx engine (openpyxl);
-            # gated so the hermetic paths never depend on it.
+            # trainx/trainy/testx/testy. pandas when it has an xlsx engine
+            # (openpyxl/calamine — widest format coverage), else the hermetic
+            # stdlib reader (gpscore.data.xlsx_lite) so the path works — and
+            # is testable — with zero optional dependencies.
             names = ["trainx", "trainy", "testx", "testy"]
             try:
                 import pandas as pd
@@ -83,11 +85,10 @@ def load_kin40k(path: Optional[str] = None) -> Kin40k:
                 # Single read: pd.read_excel re-parses the whole workbook per
                 # call, so fetch all four sheets at once.
                 sheets = pd.read_excel(path, sheet_name=names, header=None)
-            except ImportError as e:
-                raise ImportError(
-                    "reading kin40k.xlsx requires pandas + an xlsx engine "
-                    "(openpyxl); convert to .npz/.csv instead"
-                ) from e
+            except ImportError:
+                from gpscore.data.xlsx_lite import read_sheets
+
+                sheets = read_sheets(path, names)
             arr = {k: np.asarray(v, np.float32) for k, v in sheets.items()}
             return Kin40k(
                 arr["trainx"],

@@ -35,9 +35,31 @@ from gpscore.scoring import rules
 
 OBJECTIVE_RULES = ("crps", "logs", "nlml", "dss", "es", "kc", "interval")
 
-# Above this n, exact-model ARD LOO objectives use the fused Gram+solve core
+# Above this n, exact-model LOO objectives use the fused Gram+solve core
 # (gpscore.ops.loo_fused): identical math, ~2 n^2 peak HBM instead of ~4 n^2.
 _FUSED_LOO_MIN_N = 8192
+
+# Kernels the fused ARD cores cover: ARD natively; the isotropic rbf as the
+# shared-lengthscale special case (see _fused_params).
+_FUSED_KERNELS = ("ard", "rbf")
+
+
+def _fused_params(params, kernel: str, d: int):
+    """Parameters as the fused ARD cores expect them.
+
+    The isotropic ``rbf`` divides the *squared* distance by ``exp(b)``
+    (gpscore.ops.kernels.rbf_gram; reference `SIMPLE-DATA FULL-comapre.py:8-21`)
+    while ``ard`` divides the inputs per-dimension by ``exp(b')``
+    (`:24-40`), so rbf == ARD with shared ``b' = b/2`` broadcast over the d
+    input dimensions. ``broadcast_to`` is differentiable: its transpose sums
+    the per-dimension length cotangents back into the scalar, so the fused
+    cores' custom VJPs serve both kernels unchanged.
+    """
+    if kernel == "ard":
+        return params
+    return params.replace(
+        log_length=jnp.broadcast_to(0.5 * params.log_length, (d,))
+    )
 
 
 def make_objective(
@@ -61,8 +83,10 @@ def make_objective(
 
     def _loo(params, x, y):
         if model == "exact":
-            if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
-                return exact_mod.loo_exact_fused(x, y, params)
+            if kernel in _FUSED_KERNELS and x.shape[0] >= _FUSED_LOO_MIN_N:
+                return exact_mod.loo_exact_fused(
+                    x, y, _fused_params(params, kernel, x.shape[1])
+                )
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.loo_exact(k_ff, y, params.noise_sq)
         return fitc_mod.loo_fitc(
@@ -76,8 +100,10 @@ def make_objective(
         # the fold precision is diagonal-minus-low-rank, dropping fold costs to
         # O(nb m + m^3) (kfold_fitc_lowrank).
         if model == "exact":
-            if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
-                return exact_mod.kfold_exact_precision_fused(x, y, params, fold_k)
+            if kernel in _FUSED_KERNELS and x.shape[0] >= _FUSED_LOO_MIN_N:
+                return exact_mod.kfold_exact_precision_fused(
+                    x, y, _fused_params(params, kernel, x.shape[1]), fold_k
+                )
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
         return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)
@@ -87,7 +113,11 @@ def make_objective(
         # (gpscore.ops.fold_core) — nothing in the fold chain left to autodiff,
         # ~n^2 + 3 n^2/fold_k peak instead of the 3.4 n^2 the autodiff consumer
         # of the PrecisionGaussian path holds (RESULTS.md ceiling tables).
-        return model == "exact" and kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N
+        return (
+            model == "exact"
+            and kernel in _FUSED_KERNELS
+            and x.shape[0] >= _FUSED_LOO_MIN_N
+        )
 
     def _fold_stats(params, x, y, num_eps, key=None, want_inv_diag=False):
         n = x.shape[0]
@@ -97,7 +127,8 @@ def make_objective(
         else:
             eps = jnp.zeros((fold_k, nb, 0), x.dtype)
         return exact_mod.kfold_stats_fused(
-            x, y, params, fold_k, eps, want_inv_diag
+            x, y, _fused_params(params, kernel, x.shape[1]), fold_k, eps,
+            want_inv_diag,
         )
 
     if rule == "crps":
@@ -122,8 +153,10 @@ def make_objective(
 
         def loss(params, x, y, key=None):
             if model == "exact":
-                if kernel == "ard" and x.shape[0] >= _FUSED_LOO_MIN_N:
-                    return exact_mod.nlml_exact_fused(x, y, params)
+                if kernel in _FUSED_KERNELS and x.shape[0] >= _FUSED_LOO_MIN_N:
+                    return exact_mod.nlml_exact_fused(
+                        x, y, _fused_params(params, kernel, x.shape[1])
+                    )
                 k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
                 return exact_mod.nlml_exact(k_ff, y, params.noise_sq)
             return fitc_mod.nlml_fitc(x, y, params, kind=kernel)

@@ -83,12 +83,11 @@ _CHOL_BLOCK = 2048
 
 
 def _batched_tri_inv(La):
-    """La^-1 for batched lower-triangular La [k, nb, nb]."""
+    """La^-1 for batched lower-triangular La [k, nb, nb] via the solve
+    expander — the small-nb path only (:func:`_fold_chol_inv` is the one
+    dispatch site on ``_INPLACE_MIN_NB``; large blocks go through
+    ``tri_inverse_lower`` there)."""
     nb = La.shape[-1]
-    if nb >= _INPLACE_MIN_NB:
-        from gpscore.ops.block_cholesky import tri_inverse_lower
-
-        return tri_inverse_lower(La)
     eye = jnp.eye(nb, dtype=La.dtype)
     return _bsolve(La, jnp.broadcast_to(eye, La.shape), 0)
 

@@ -48,15 +48,33 @@ _MODES = {
 }
 _mode = "highest"
 
+# jax_default_matmul_precision value per mode. The config participates in the
+# jit trace-cache key, so updating it alongside ``_mode`` makes a mode switch
+# force a RETRACE of already-jitted functions — without it, calling a
+# previously jitted step after switching modes silently reuses the executable
+# traced under the old mode (same shapes -> cache hit). Every library
+# contraction still passes an explicit Precision; the config value is a cache
+# salt (and a matching default for any stray precision-less contraction).
+_CONFIG_SALT = {
+    "highest": "highest",
+    "high": "BF16_BF16_F32_X3",
+    "fast": "bfloat16",
+}
+
 
 def set_matmul_mode(mode: str) -> None:
     """Set the library-wide contraction mode: "highest" (exact fp32 passes,
     default), "high" (3-pass bf16), or "fast" (one-pass bf16; fp32
-    accumulation everywhere, critical contractions floored at 3-pass)."""
+    accumulation everywhere, critical contractions floored at 3-pass).
+
+    Also updates ``jax_default_matmul_precision`` (part of the jit cache key)
+    so jitted functions retrace under the new mode instead of reusing
+    executables traced under the old one."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {sorted(_MODES)}, got {mode!r}")
     global _mode
     _mode = mode
+    jax.config.update("jax_default_matmul_precision", _CONFIG_SALT[mode])
 
 
 def get_matmul_mode() -> str:

@@ -81,3 +81,83 @@ def test_load_kin40k_bad_path_suffix(tmp_path):
     p.write_text("nope")
     with pytest.raises(ValueError):
         load_kin40k(str(p))
+
+
+def test_xlsx_lite_roundtrip(tmp_path):
+    """write_sheets -> read_sheets is exact for fp32-representable values,
+    including 1-D sheets, multi-sheet workbooks, and NaN -> empty cells."""
+    from gpscore.data.xlsx_lite import read_sheets, write_sheets
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((7, 3)).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    c = a.copy()
+    c[2, 1] = np.nan
+    p = str(tmp_path / "wb.xlsx")
+    write_sheets(p, {"alpha": a, "beta": b, "gamma": c})
+    back = read_sheets(p)
+    np.testing.assert_array_equal(back["alpha"], a)
+    np.testing.assert_array_equal(back["beta"], b.reshape(1, -1))
+    np.testing.assert_array_equal(back["gamma"], c)
+    # subset + missing-sheet error
+    assert set(read_sheets(p, ["beta"])) == {"beta"}
+    with pytest.raises(KeyError, match="missing sheets"):
+        read_sheets(p, ["nope"])
+
+
+def test_xlsx_lite_wide_columns(tmp_path):
+    """Column refs beyond 'Z' (AA...) round-trip (the bijective base-26)."""
+    from gpscore.data.xlsx_lite import read_sheets, write_sheets
+
+    arr = np.arange(2 * 30, dtype=np.float32).reshape(2, 30)
+    p = str(tmp_path / "wide.xlsx")
+    write_sheets(p, {"w": arr})
+    np.testing.assert_array_equal(read_sheets(p)["w"], arr)
+
+
+def test_load_kin40k_xlsx(tmp_path):
+    """The reference's on-disk format (`kin40k-FULL-compare.py:197-200`):
+    sheets trainx/trainy/testx/testy through load_kin40k end-to-end, then the
+    replicate-split protocol on top. Hermetic (gpscore.data.xlsx_lite) — no
+    openpyxl needed."""
+    from gpscore.data.xlsx_lite import write_sheets
+
+    d = synthesize_kin40k_like(n_pool=40, n_test=20)
+    p = str(tmp_path / "kin40k.xlsx")
+    write_sheets(
+        p,
+        {
+            "trainx": d.train_x,
+            "trainy": d.train_y.reshape(-1, 1),
+            "testx": d.test_x,
+            "testy": d.test_y.reshape(-1, 1),
+        },
+    )
+    back = load_kin40k(p)
+    np.testing.assert_array_equal(back.train_x, d.train_x)
+    np.testing.assert_array_equal(back.train_y, d.train_y)
+    np.testing.assert_array_equal(back.test_x, d.test_x)
+    np.testing.assert_array_equal(back.test_y, d.test_y)
+    s = kin40k_replicate_split(back, 0, n_subsample=10, n_va=5, n_test=10)
+    assert s.train_x.shape == (10, 8)
+
+
+def test_xlsx_lite_rejects_non_numeric(tmp_path):
+    """A workbook with text cells fails loudly, pointing at npz/csv."""
+    import zipfile
+
+    from gpscore.data.xlsx_lite import read_sheets, write_sheets
+
+    p = str(tmp_path / "bad.xlsx")
+    write_sheets(p, {"s": np.ones((2, 2), np.float32)})
+    # graft a string cell into the sheet XML (inline str type)
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = parts["xl/worksheets/sheet1.xml"].replace(
+        b'<c r="A1"><v>1.0</v></c>', b'<c r="A1" t="str"><v>header</v></c>'
+    )
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, raw in parts.items():
+            zf.writestr(n, raw)
+    with pytest.raises(ValueError, match="non-numeric"):
+        read_sheets(p)

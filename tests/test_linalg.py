@@ -333,6 +333,42 @@ class TestFusedKfoldCore:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
+    @pytest.mark.parametrize("rule", ["crps", "nlml", "dss", "kc", "es"])
+    def test_rbf_objective_dispatch(self, rng, monkeypatch, rule):
+        """Isotropic-rbf objectives route through the fused ARD cores above the
+        threshold (shared-lengthscale special case, objectives._fused_params)
+        with identical loss and gradients — including the d-sum of the length
+        cotangent back into the scalar log squared-lengthscale."""
+        import jax.numpy as jnp
+
+        import gpscore.fit.objectives as obj
+        from gpscore.fit import make_objective
+        from gpscore.utils.params import GPParams
+
+        n, d = 64, 3
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        # scalar log_length = log squared-lengthscale (rbf semantics)
+        p = GPParams(jnp.float32(0.3), jnp.float32(0.4), jnp.float32(-1.0))
+        key = jax.random.PRNGKey(7)
+        loss = make_objective(rule, model="exact", kernel="rbf", num_sim=64)
+        want_v, want_g = jax.value_and_grad(loss)(p, x, y, key)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        loss_fused = make_objective(rule, model="exact", kernel="rbf", num_sim=64)
+        got_v, got_g = jax.value_and_grad(loss_fused)(p, x, y, key)
+        if rule == "es":
+            # different (reparameterized vs covariance-path) samplers: same
+            # distribution, different draws — check finiteness + grad shapes
+            assert np.isfinite(float(got_v))
+            for a_ in jax.tree.leaves(got_g):
+                assert np.all(np.isfinite(np.asarray(a_)))
+            return
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+        for a_, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
     def test_rejects_indivisible_n(self, rng):
         import jax.numpy as jnp
 
