@@ -186,30 +186,6 @@ def _stream_param_grads(
     return s_acc, log_length_bar, log_noise_bar
 
 
-def ard_contraction_grads(Khat_bar, K_ref, z, log_length, log_noise_sq):
-    """Whole-matrix form of the module-docstring chain rule: parameter
-    cotangents from K_hat_bar and the (recomputed) Gram K_ref.
-
-    Used by the mesh-sharded fused step (gpscore.parallel.sharded_loo), where
-    the device shards play the role of the single-chip version's streamed row
-    blocks — every reduction here row-partitions under GSPMD. Returns
-    (log_signal_bar, log_length_bar, log_noise_bar).
-    """
-    C = Khat_bar * K_ref
-    s_bar = jnp.sum(C)
-    r = jnp.sum(C, axis=1)
-    c = jnp.sum(C, axis=0)
-    zz = z * z
-    length_bar = (
-        jnp.sum(r[:, None] * zz, axis=0)
-        + jnp.sum(c[:, None] * zz, axis=0)
-        - 2.0 * jnp.sum(z * matmul(C, z), axis=0)
-    )
-    length_bar = jnp.reshape(length_bar, jnp.shape(log_length))
-    noise_bar = jnp.exp(log_noise_sq) * jnp.trace(Khat_bar)
-    return s_bar, length_bar, noise_bar
-
-
 # --------------------------------------------------------------------------
 # LOO: (a, d) = (K_hat^-1 y, diag K_hat^-1)
 # --------------------------------------------------------------------------

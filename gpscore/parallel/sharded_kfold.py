@@ -225,38 +225,36 @@ def make_sharded_fused_kfold_fit_step(
     :func:`gpscore.parallel.sharded_loo.make_sharded_fused_loo_fit_step`.
 
     One custom VJP spans Gram construction + the distributed (K^-1 y, blocks)
-    solve, so only the row-sharded K^-1 survives the forward; the backward
-    recomputes the Gram, forms the blockdiag term as a fold einsum over K^-1's
-    rows (no n x n zeros+scatter B), and reduces straight to the O(d)
-    parameter cotangents via the closed-form contraction
-    (:func:`gpscore.ops.loo_fused.ard_contraction_grads`). Per-device
-    residency ~2 n^2/p instead of ~4 n^2/p. ARD kernel only.
+    solve, so only the row-sharded K^-1 survives the forward — which runs
+    the in-place sharded potri pipeline (ONE [n/p, n] buffer per device,
+    :mod:`gpscore.parallel.sharded_potri`); the backward streams the
+    blockdiag(A_bar) sandwich and the recomputed Gram over row blocks into
+    O(d) parameter accumulators. Per-device residency ~n^2/p + the fold
+    blocks' own n^2/fold_k working set. ARD kernel only.
     """
     if rule not in KFOLD_RULES:
         raise ValueError(f"rule must be one of {KFOLD_RULES}, got {rule!r}")
-    from gpscore.ops.block_cholesky import tri_inverse_lower
-    from gpscore.ops.kernels import ard_gram
-    from gpscore.ops.loo_fused import ard_contraction_grads
-    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.parallel.sharded_potri import (
+        ard_gram_inverse_inplace_sharded,
+        make_streamed_ard_bwd,
+    )
 
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    streamed_bwd = make_streamed_ard_bwd(
+        mesh, "kfold", fold_k=fold_k, axis=axis, block=block
+    )
 
     def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
         n = x.shape[0]
         if n % fold_k != 0:
             raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
         nb = n // fold_k
-        x = jax.lax.with_sharding_constraint(x, row)
-        K_hat = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length)
-            + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=x.dtype),
-            row,
+        Kinv, _ = ard_gram_inverse_inplace_sharded(
+            log_signal_sq, log_length, log_noise_sq, x, mesh,
+            axis=axis, block=block,
         )
-        L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
-        L = jax.lax.with_sharding_constraint(L, row)
-        Linv = tri_inverse_lower(L)
-        Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+        Kinv = jax.lax.with_sharding_constraint(Kinv, row)
         a = matmul(Kinv, y.reshape(n, 1))[:, 0]
         A = jnp.stack([
             jax.lax.dynamic_slice(Kinv, (b * nb, b * nb), (nb, nb))
@@ -275,28 +273,11 @@ def make_sharded_fused_kfold_fit_step(
 
     def f_bwd(res, cot):
         Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
-        a_bar, A_bar = cot
-        n = a.shape[0]
-        nf = n // fold_k
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        w = matmul(Kinv, a_bar.reshape(n, 1))
-        y_bar = w[:, 0]
-        # rows of K^-1 blockdiag(A_bar): per fold f, Kinv[:, cols_f] @ A_bar_f.
-        M = jnp.einsum(
-            "sfi,fij->sfj", Kinv.reshape(n, fold_k, nf), A_bar,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(n, n)
-        Khat_bar = jax.lax.with_sharding_constraint(
-            -matmul(w, a.reshape(1, n)) - matmul(M, Kinv), row
+        s_bar, l_bar, n_bar, w = streamed_bwd(
+            Kinv, a, x, log_signal_sq, log_length, log_noise_sq, cot
         )
-        K_ref = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length), row
-        )
-        z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
-        s_bar, l_bar, n_bar = ard_contraction_grads(
-            Khat_bar, K_ref, z, log_length, log_noise_sq
-        )
-        return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+        return s_bar, l_bar, n_bar, jnp.zeros_like(x), w
 
     solve_blocks.defvjp(f_fwd, f_bwd)
 

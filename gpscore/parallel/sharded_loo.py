@@ -251,21 +251,25 @@ def make_sharded_fused_loo_fit_step(
     a compile-once CRPS/logs/interval-LOO gradient step where, beyond sharding
     every n x n object over ``mesh[axis]`` like :func:`make_sharded_loo_fit_step`,
     the residual set is hand-chosen — only K^-1 (row-sharded) survives the
-    forward, the Gram is recomputed inside the backward, and the parameter
-    cotangents come from the closed-form contraction
-    (:func:`gpscore.ops.loo_fused.ard_contraction_grads`) instead of a
-    materialized K_bar flowing through the kernel's autodiff. Per-device
-    residency drops from ~4 n^2/p to ~2 n^2/p, the same 2x capacity the fused
-    core bought single-chip (n=20k -> 36.8k; RESULTS.md).
+    forward, the Gram is recomputed blockwise inside the backward, and the
+    parameter cotangents reduce straight to O(d) accumulators instead of a
+    materialized K_bar flowing through the kernel's autodiff.
 
-    The single-chip core streams its backward over row blocks; here the device
-    shards ARE the blocks — GSPMD row-partitions every term of the whole-matrix
-    contraction, with XLA inserting the ICI collectives.
+    The single-chip core runs its forward inside one n x n buffer (the
+    in-place potri pipeline) and streams its backward over row blocks; here
+    both moves are mesh-native (:mod:`gpscore.parallel.sharded_potri`): the
+    forward carries ONE [n/p, n] buffer per device through Gram-panel ->
+    potrf -> trtri -> lauum inside one shard_map region, and the backward
+    streams the parameter contraction over global row blocks with
+    psum_scatter column reduction — per-device residency ~n^2/p + O(n block)
+    across the whole step (was ~2-3 n^2/p with the out-of-place
+    ``sharded_cholesky -> tri_inverse_lower -> L^-T L^-1`` chain).
     """
-    from gpscore.ops.block_cholesky import tri_inverse_lower
-    from gpscore.ops.kernels import ard_gram
-    from gpscore.ops.loo_fused import ard_contraction_grads
-    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.parallel.sharded_potri import (
+        ard_gram_inverse_inplace_sharded,
+        make_streamed_ard_bwd,
+        sharded_diag,
+    )
     from gpscore.scoring.rules import crps_gaussian, interval_score, logs_gaussian
     from gpscore.utils.precision import matmul
 
@@ -273,21 +277,17 @@ def make_sharded_fused_loo_fit_step(
              "interval": interval_score}[rule]
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    streamed_bwd = make_streamed_ard_bwd(mesh, "loo", axis=axis, block=block)
 
     def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
         n = x.shape[0]
-        x = jax.lax.with_sharding_constraint(x, row)
-        K_hat = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length)
-            + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=x.dtype),
-            row,
+        Kinv, _ = ard_gram_inverse_inplace_sharded(
+            log_signal_sq, log_length, log_noise_sq, x, mesh,
+            axis=axis, block=block,
         )
-        L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
-        L = jax.lax.with_sharding_constraint(L, row)
-        Linv = tri_inverse_lower(L)
-        Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+        Kinv = jax.lax.with_sharding_constraint(Kinv, row)
         a = matmul(Kinv, y.reshape(n, 1))[:, 0]
-        return a, jnp.diagonal(Kinv), Kinv
+        return a, sharded_diag(Kinv, mesh, axis=axis), Kinv
 
     @jax.custom_vjp
     def loo_solve(log_signal_sq, log_length, log_noise_sq, x, y):
@@ -300,23 +300,11 @@ def make_sharded_fused_loo_fit_step(
 
     def f_bwd(res, cot):
         Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
-        a_bar, d_bar = cot
-        n = a.shape[0]
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        w = matmul(Kinv, a_bar.reshape(n, 1))
-        y_bar = w[:, 0]
-        Khat_bar = jax.lax.with_sharding_constraint(
-            -matmul(w, a.reshape(1, n)) - matmul(Kinv * d_bar[None, :], Kinv),
-            row,
+        s_bar, l_bar, n_bar, w = streamed_bwd(
+            Kinv, a, x, log_signal_sq, log_length, log_noise_sq, cot
         )
-        K_ref = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length), row
-        )
-        z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
-        s_bar, l_bar, n_bar = ard_contraction_grads(
-            Khat_bar, K_ref, z, log_length, log_noise_sq
-        )
-        return s_bar, l_bar, n_bar, jnp.zeros_like(x), y_bar
+        return s_bar, l_bar, n_bar, jnp.zeros_like(x), w
 
     loo_solve.defvjp(f_fwd, f_bwd)
 
@@ -362,35 +350,31 @@ def make_sharded_fused_nlml_fit_step(
     family (CRPS/logs/interval-LOO, DSS/ES/kc k-fold, and now the NLML
     baseline; reference inline NLML at `SIMPLE-DATA FULL-comapre.py:292-296`).
 
-    Same residual discipline as :func:`make_sharded_fused_loo_fit_step` (only
-    the row-sharded K^-1 survives the forward; the Gram is recomputed in the
-    backward), and like the single-chip fused NLML the cotangent
-    ``K_hat_bar = v_bar (K^-1 - alpha alpha^T)/2`` comes straight off K^-1's
-    rows — no K^-1-sandwich GEMM, so the backward is one rank-1 update plus
-    the O(n^2) kernel contraction, every term row-partitioned under GSPMD.
+    Same residual discipline as :func:`make_sharded_fused_loo_fit_step`:
+    the forward is the in-place sharded potri pipeline (ONE [n/p, n] buffer
+    per device, :mod:`gpscore.parallel.sharded_potri`, with the log-det free
+    from the factorization stage), and the backward streams
+    ``K_hat_bar = v_bar (K^-1 - alpha alpha^T)/2`` straight off K^-1's local
+    columns into O(d) accumulators — no sandwich GEMM, no collectives beyond
+    the final psum, the cheapest large-n sharded objective step.
     """
-    from gpscore.ops.block_cholesky import tri_inverse_lower
-    from gpscore.ops.kernels import ard_gram
-    from gpscore.ops.loo_fused import ard_contraction_grads
-    from gpscore.parallel.sharded_cholesky import sharded_cholesky
+    from gpscore.parallel.sharded_potri import (
+        ard_gram_inverse_inplace_sharded,
+        make_streamed_ard_bwd,
+    )
     from gpscore.utils.precision import matmul
 
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    streamed_bwd = make_streamed_ard_bwd(mesh, "nlml", axis=axis, block=block)
 
     def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
         n = x.shape[0]
-        x = jax.lax.with_sharding_constraint(x, row)
-        K_hat = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length)
-            + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=x.dtype),
-            row,
+        Kinv, half_logdet = ard_gram_inverse_inplace_sharded(
+            log_signal_sq, log_length, log_noise_sq, x, mesh,
+            axis=axis, block=block,
         )
-        L = sharded_cholesky(K_hat, mesh, axis=axis, block=block)
-        L = jax.lax.with_sharding_constraint(L, row)
-        half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-        Linv = tri_inverse_lower(L)
-        Kinv = jax.lax.with_sharding_constraint(matmul(Linv.T, Linv), row)
+        Kinv = jax.lax.with_sharding_constraint(Kinv, row)
         a = matmul(Kinv, y.reshape(n, 1))[:, 0]
         value = (
             0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
@@ -411,18 +395,9 @@ def make_sharded_fused_nlml_fit_step(
 
     def f_bwd(res, v_bar):
         Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
-        n = a.shape[0]
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        half = 0.5 * v_bar
-        Khat_bar = jax.lax.with_sharding_constraint(
-            half * (Kinv - matmul(a.reshape(n, 1), a.reshape(1, n))), row
-        )
-        K_ref = jax.lax.with_sharding_constraint(
-            ard_gram(x, x, log_signal_sq, log_length), row
-        )
-        z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
-        s_bar, l_bar, n_bar = ard_contraction_grads(
-            Khat_bar, K_ref, z, log_length, log_noise_sq
+        s_bar, l_bar, n_bar, _ = streamed_bwd(
+            Kinv, a, x, log_signal_sq, log_length, log_noise_sq, v_bar
         )
         return s_bar, l_bar, n_bar, jnp.zeros_like(x), v_bar * a
 

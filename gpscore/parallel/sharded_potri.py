@@ -1,0 +1,403 @@
+"""In-place mesh-sharded Gram -> K_hat^-1 (potri) + streamed ARD backward.
+
+The round-2 fused-sharded fit steps (`sharded_loo.py`, `sharded_kfold.py`)
+kept only the row-sharded K^-1 as a *residual*, but their forward was still
+out-of-place — K_hat, L, L^-1 and K^-1 existed as separate row-sharded n^2
+buffers (`sharded_cholesky -> tri_inverse_lower -> L^-T L^-1`), and their
+backward materialized K_hat_bar and a recomputed Gram as two more. Per-device
+residency: ~2-3 n^2/p across a value_and_grad. This module ports the
+single-chip in-place discipline (:mod:`gpscore.ops.potri_inplace`,
+:func:`gpscore.ops.loo_fused._stream_param_grads`) to the mesh:
+
+- :func:`ard_gram_inverse_inplace_sharded` — ONE shard_map region carries one
+  [n/p, n] buffer per device through Gram-panel generation -> right-looking
+  blocked Cholesky -> in-place triangular inversion -> in-place lauum
+  (K^-1 = L^-T L^-1). Every stage updates the local buffer with
+  ``dynamic_update_slice`` (single consumer -> XLA buffer-assigns in place);
+  cross-device traffic is one [n, b] panel strip per outer panel per stage
+  (psum-assembled), ~3 n^2 floats over ICI total. Peak per device:
+  n^2/p + O(n * block).
+- :func:`make_streamed_ard_bwd` — the parameter-cotangent contraction
+  ``theta_bar = sum_ij K_hat_bar_ij dK_ij/dtheta`` streamed over global row
+  blocks: per block, the sandwich term's rows are assembled with one
+  psum_scatter ([b, n] -> local [b, n/p] columns), the block's Gram columns
+  are recomputed locally from x (never stored), and everything reduces into
+  O(d) accumulators. Neither K_hat_bar nor the Gram ever exists as an n x n
+  buffer: backward peak is the K^-1 residual + O(n * block) per device.
+
+Together the fused-sharded steps hold ~n^2/p + O(n b) per device across the
+whole step — the same residual discipline the single-chip in-place pipeline
+measured at 1.04 n^2 (BENCH_NOTES.md), now scaled by 1/p.
+
+All three stages use static full-width panels + index masks (no shrinking
+shapes), so the outer loops are ``lax.fori_loop`` — trace size is O(1) in
+n/block, unlike the trace-unrolled single-chip chains.
+
+Like the rest of the sharded stack the kernels here are ARD
+(`kin40k-FULL-compare.py:7-23`); reference analogue of the whole module: the
+dense ``chol_solve(I, big_k)`` O(n^3)/O(n^2) wall at
+`kin40k-FULL-compare.py:196,209,507`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpscore.ops.kernels import ard_gram
+from gpscore.utils.precision import matmul, matmul_crit
+
+
+def _check_divisible(n: int, p: int, block: int) -> int:
+    rows_per = n // p
+    if n % p or rows_per % block:
+        raise ValueError(
+            f"n={n} must be divisible by devices*block={p}*{block}"
+        )
+    return rows_per
+
+
+def ard_gram_inverse_inplace_sharded(
+    log_signal_sq, log_length, log_noise_sq, x, mesh: Mesh,
+    axis: str = "data", block: int = 256,
+):
+    """(K_hat^-1 row-sharded [n, n], half_logdet) for K_hat = K_ard(x) + noise I.
+
+    The distributed twin of
+    :func:`gpscore.ops.potri_inplace.ard_gram_inverse_inplace` (module
+    docstring has the three-stage plan). ``x``/scalars replicated in; K^-1
+    comes back sharded ``P(axis)`` (full symmetric — both triangles written);
+    the half log-det is the NLML term, free from stage 1. Not differentiable —
+    this is the forward of the fused-sharded custom-VJP steps, paired with
+    :func:`make_streamed_ard_bwd`.
+    """
+    n = x.shape[0]
+    p = mesh.shape[axis]
+    rows_per = _check_divisible(n, p, block)
+    b = block
+    k = n // b
+    d = x.shape[1]
+
+    def local_fn(ls, ll, ln, x_full):
+        idx = lax.axis_index(axis)
+        row0 = idx * rows_per
+        row_ids = row0 + jnp.arange(rows_per)
+        col_ids = jnp.arange(n)
+        dtype = x_full.dtype
+        eye_b = jnp.eye(b, dtype=dtype)
+        noise = jnp.exp(ln)
+
+        # Local Gram rows + noise diagonal: the buffer W is born as K_hat's
+        # row shard and is overwritten in place by every later stage.
+        x_loc = lax.dynamic_slice(x_full, (row0, 0), (rows_per, d))
+        W = ard_gram(x_loc, x_full, ls, ll)
+        W = W + noise * (col_ids[None, :] == row_ids[:, None]).astype(dtype)
+
+        # ---- stage 1: right-looking blocked Cholesky, W <- L -------------
+        # (panel recurrence of gpscore.parallel.sharded_cholesky, plus the
+        # half-log-det accumulated while the pivots are at hand)
+        def chol_step(kk, carry):
+            W, hld = carry
+            kb = kk * b
+            owner = kb // rows_per
+            local_off = kb - owner * rows_per
+            D_contrib = lax.dynamic_slice(W, (local_off, kb), (b, b))
+            D = lax.psum(jnp.where(idx == owner, D_contrib, 0.0), axis)
+            L_kk = jnp.linalg.cholesky(D)
+            hld = hld + jnp.sum(jnp.log(jnp.diagonal(L_kk)))
+            C = lax.dynamic_slice(W, (0, kb), (rows_per, b))
+            Lcol = solve_triangular(L_kk, C.T, lower=True).T
+            Lcol = jnp.where((row_ids >= kb)[:, None], Lcol, 0.0)
+            strip = lax.psum(
+                lax.dynamic_update_slice(
+                    jnp.zeros((n, b), dtype), Lcol, (row0, 0)
+                ),
+                axis,
+            )
+            # matmul_crit: one-pass bf16 Schur drift turns trailing pivots
+            # negative (gpscore/ops/potri_inplace.py measured note).
+            update = matmul_crit(Lcol, strip.T)
+            trailing = (col_ids >= kb + b)[None, :]
+            W = W - jnp.where(trailing, update, 0.0)
+            W = lax.dynamic_update_slice(W, Lcol, (0, kb))
+            return W, hld
+
+        W, hld = lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), dtype)))
+        # the trailing updates leave garbage above the diagonal; stages 2-3
+        # rely on an exactly-zero strict upper triangle.
+        W = jnp.where(col_ids[None, :] <= row_ids[:, None], W, 0.0)
+
+        # ---- stage 2: in-place triangular inversion, W <- L^-1 -----------
+        # Right-to-left: X[t:, s:t] = -X[t:, t:] L[t:, s:t] X_ss, where the
+        # trailing X panels are already-overwritten columns (>= t) of W and
+        # L's column strip [s:t) is psum-assembled before being overwritten.
+        def trtri_step(i, W):
+            pi = k - 1 - i
+            s = pi * b
+            t = s + b
+            owner = s // rows_per
+            local_off = s - owner * rows_per
+            strip = lax.psum(
+                lax.dynamic_update_slice(
+                    jnp.zeros((n, b), dtype),
+                    lax.dynamic_slice(W, (0, s), (rows_per, b)),
+                    (row0, 0),
+                ),
+                axis,
+            )
+            Ljj = lax.dynamic_slice(strip, (s, 0), (b, b))
+            Xjj = solve_triangular(Ljj, eye_b, lower=True)
+
+            def acc_body(jp, acc):
+                Xp = lax.dynamic_slice(W, (0, jp * b), (rows_per, b))
+                Lb = lax.dynamic_slice(strip, (jp * b, 0), (b, b))
+                return acc + matmul(Xp, Lb)
+
+            acc = lax.fori_loop(
+                pi + 1, k, acc_body,
+                lax.pcast(jnp.zeros((rows_per, b), dtype), (axis,),
+                          to="varying"),
+            )
+            # rows < t contribute zero naturally (X is lower triangular), so
+            # -acc Xjj is already masked; the owner adds the X_ss diagonal.
+            ins = lax.dynamic_update_slice(
+                jnp.zeros((rows_per, b), dtype), Xjj, (local_off, 0)
+            )
+            new_col = -matmul(acc, Xjj) + jnp.where(idx == owner, ins, 0.0)
+            return lax.dynamic_update_slice(W, new_col, (0, s))
+
+        W = lax.fori_loop(0, k, trtri_step, W)
+
+        # ---- stage 3: in-place lauum, W <- K^-1 = L^-T L^-1 --------------
+        # Column panel s reads only rows/columns >= s (still L^-1 there),
+        # writes the lower column block and mirrors the strict-upper row band
+        # — regions no later panel reads.
+        def lauum_step(pi, W):
+            s = pi * b
+            owner = s // rows_per
+            local_off = s - owner * rows_per
+            mask_ge_s = (row_ids >= s)[:, None]
+            Mcol = jnp.where(
+                mask_ge_s, lax.dynamic_slice(W, (0, s), (rows_per, b)), 0.0
+            )
+            B_full = lax.psum(matmul(W.T, Mcol), axis)  # [n, b]
+            B_loc = lax.dynamic_slice(B_full, (row0, 0), (rows_per, b))
+            cur = lax.dynamic_slice(W, (0, s), (rows_per, b))
+            W = lax.dynamic_update_slice(
+                W, jnp.where(mask_ge_s, B_loc, cur), (0, s)
+            )
+            band = lax.dynamic_slice(W, (local_off, 0), (b, n))
+            upd = jnp.where(
+                jnp.logical_and(idx == owner, col_ids >= s + b)[None, :],
+                B_full.T,
+                band,
+            )
+            return lax.dynamic_update_slice(W, upd, (local_off, 0))
+
+        W = lax.fori_loop(0, k, lauum_step, W)
+        return W, hld
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis), P()),
+    )
+    return fn(log_signal_sq, log_length, log_noise_sq, x)
+
+
+def sharded_diag(M, mesh: Mesh, axis: str = "data"):
+    """diag(M) [n] (sharded ``P(axis)``) from a row-sharded square M — each
+    device gathers its own diagonal entries; no relayout of M."""
+    n = M.shape[0]
+    rows_per = n // mesh.shape[axis]
+
+    def local_fn(M_loc):
+        row0 = lax.axis_index(axis) * rows_per
+        r = jnp.arange(rows_per)
+        return M_loc[r, row0 + r]
+
+    return shard_map(local_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis))(M)
+
+
+def make_streamed_ard_bwd(
+    mesh: Mesh, mode: str, fold_k: int | None = None,
+    axis: str = "data", block: int = 256,
+):
+    """Streamed parameter-cotangent contraction off a row-sharded K^-1.
+
+    Returns ``bwd(Kinv, a, x, log_signal_sq, log_length, log_noise_sq, cot)
+    -> (s_bar, l_bar, n_bar, w)`` computing, per ``mode``, the cotangents of
+    the fused cores' math (:mod:`gpscore.ops.loo_fused` module docstring):
+
+    - ``"loo"``:   cot = (a_bar, d_bar);  K_hat_bar = -w a^T - K^-1 D K^-1,
+      w = K^-1 a_bar, D = diag(d_bar). Returned ``w`` is y_bar.
+    - ``"kfold"``: cot = (a_bar, A_bar [fold_k, nf, nf]); the sandwich is
+      -K^-1 blockdiag(A_bar) K^-1. Returned ``w`` is y_bar. Requires the
+      device row-range to tile the folds (nf % (n/p) == 0 or vice versa).
+    - ``"nlml"``:  cot = v_bar (scalar); K_hat_bar = v_bar (K^-1 - a a^T)/2
+      via w = (v_bar/2) a, extra = (v_bar/2) K^-1 rows. y_bar is v_bar * a
+      (caller-side).
+
+    Per global row block: the sandwich rows' columns are psum_scatter-reduced
+    to their owners ([b, n] -> [b, n/p]); the Gram block columns are
+    recomputed locally from x; all reductions accumulate into O(d) carries
+    psum-ed once at the end. No n x n temp exists at any point.
+    """
+    if mode not in ("loo", "kfold", "nlml"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "kfold" and not fold_k:
+        raise ValueError("mode='kfold' needs fold_k")
+    p = mesh.shape[axis]
+    b = block
+
+    def bwd(Kinv, a, x, log_signal_sq, log_length, log_noise_sq, cot):
+        n = x.shape[0]
+        rows_per = _check_divisible(n, p, block)
+        k = n // b
+        d = x.shape[1]
+        if mode == "kfold":
+            nf = n // fold_k
+            if nf % rows_per == 0:
+                fold_case = "device_within_fold"
+            elif rows_per % nf == 0:
+                fold_case = "folds_within_device"
+            else:
+                raise ValueError(
+                    f"fold size {nf} and device rows {rows_per} must tile "
+                    "each other"
+                )
+
+        def local_fn(Kinv_loc, a_full, x_full, ls, ll, ln, *cot_flat):
+            idx = lax.axis_index(axis)
+            row0 = idx * rows_per
+            dtype = x_full.dtype
+
+            z = x_full * jnp.exp(-jnp.reshape(ll, (1, -1)))
+            zz = z * z
+            x_loc = lax.dynamic_slice(x_full, (row0, 0), (rows_per, d))
+            z_loc = lax.dynamic_slice(z, (row0, 0), (rows_per, d))
+            zz_loc = lax.dynamic_slice(zz, (row0, 0), (rows_per, d))
+            a_loc = lax.dynamic_slice(a_full, (row0,), (rows_per,))
+
+            if mode == "nlml":
+                (v_bar,) = cot_flat
+                half = 0.5 * v_bar
+                w = half * a_full  # replicated
+            else:
+                a_bar = cot_flat[0]
+                w_loc = matmul(Kinv_loc, a_bar.reshape(n, 1))[:, 0]
+                w = lax.psum(
+                    lax.dynamic_update_slice(
+                        jnp.zeros((n,), dtype), w_loc, (row0,)
+                    ),
+                    axis,
+                )
+            if mode == "loo":
+                d_bar = cot_flat[1]
+                d_bar_loc = lax.dynamic_slice(d_bar, (row0,), (rows_per,))
+            if mode == "kfold":
+                A_bar = cot_flat[1]
+
+            def extra_cols(s, colsl):
+                """Local columns [b, n/p] of K_hat_bar's non-rank-1 term for
+                row block [s, s+b). ``colsl`` = Kinv[R_q, s:s+b], which by
+                symmetry is Kinv_B[:, R_q]^T."""
+                if mode == "nlml":
+                    return half * colsl.T
+                if mode == "loo":
+                    T_q = matmul(colsl.T * d_bar_loc[None, :], Kinv_loc)
+                else:
+                    # M_B[:, R_q] = Kinv_B[:, fold cols] @ A_bar[f][:, local]
+                    if fold_case == "device_within_fold":
+                        f_q = row0 // nf
+                        fold0 = f_q * nf
+                        KB_fold = lax.psum(
+                            lax.dynamic_update_slice(
+                                jnp.zeros((n, b), dtype), colsl, (row0, 0)
+                            ),
+                            axis,
+                        )  # full Kinv[:, s:s+b]; fold rows sliced below
+                        K_fold = lax.dynamic_slice(
+                            KB_fold, (fold0, 0), (nf, b)
+                        )  # [nf, b] = Kinv_B[:, fold]^T
+                        A_sl = lax.dynamic_slice(
+                            A_bar, (f_q, 0, row0 - fold0), (1, nf, rows_per)
+                        )[0]
+                        M_cols = matmul(K_fold.T, A_sl)  # [b, n/p]
+                    else:  # folds_within_device
+                        m = rows_per // nf
+                        f0 = row0 // nf
+                        A_sl = lax.dynamic_slice(
+                            A_bar, (f0, 0, 0), (m, nf, nf)
+                        )
+                        M_cols = jnp.einsum(
+                            "bmi,mij->bmj",
+                            colsl.T.reshape(b, m, nf),
+                            A_sl,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).reshape(b, rows_per)
+                    T_q = matmul(M_cols, Kinv_loc)
+                return -lax.psum_scatter(
+                    T_q, axis, scatter_dimension=1, tiled=True
+                )
+
+            def body(blk, carry):
+                s_acc, rzz, czz, cross, tr = carry
+                s = blk * b
+                owner = s // rows_per
+                local_off = s - owner * rows_per
+                colsl = lax.dynamic_slice(Kinv_loc, (0, s), (rows_per, b))
+                w_B = lax.dynamic_slice(w, (s,), (b,))
+                Khat_cols = -w_B[:, None] * a_loc[None, :] + extra_cols(
+                    s, colsl
+                )
+                x_B = lax.dynamic_slice(x_full, (s, 0), (b, d))
+                z_B = lax.dynamic_slice(z, (s, 0), (b, d))
+                zz_B = lax.dynamic_slice(zz, (s, 0), (b, d))
+                K_B = ard_gram(x_B, x_loc, ls, ll)  # [b, n/p], recomputed
+                C = Khat_cols * K_B
+                s_acc = s_acc + jnp.sum(C)
+                rzz = rzz + matmul(jnp.sum(C, axis=1).reshape(1, b), zz_B)[0]
+                czz = czz + matmul(
+                    jnp.sum(C, axis=0).reshape(1, rows_per), zz_loc
+                )[0]
+                cross = cross + jnp.sum(z_B * matmul(C, z_loc), axis=0)
+                diag_seg = lax.dynamic_slice(
+                    Khat_cols, (0, local_off), (b, b)
+                )
+                tr = tr + jnp.where(idx == owner, jnp.trace(diag_seg), 0.0)
+                return s_acc, rzz, czz, cross, tr
+
+            init = jax.tree.map(
+                lambda v: lax.pcast(v, (axis,), to="varying"),
+                (
+                    jnp.zeros((), dtype),
+                    jnp.zeros((d,), dtype),
+                    jnp.zeros((d,), dtype),
+                    jnp.zeros((d,), dtype),
+                    jnp.zeros((), dtype),
+                ),
+            )
+            s_acc, rzz, czz, cross, tr = lax.fori_loop(0, k, body, init)
+            s_bar, rzz, czz, cross, tr = lax.psum(
+                (s_acc, rzz, czz, cross, tr), axis
+            )
+            l_bar = jnp.reshape(rzz + czz - 2.0 * cross, jnp.shape(ll))
+            n_bar = jnp.exp(ln) * tr
+            return s_bar, l_bar, n_bar, w
+
+        cot_flat = (cot,) if mode == "nlml" else tuple(cot)
+        fn = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis),) + (P(),) * (5 + len(cot_flat)),
+            out_specs=(P(), P(), P(), P()),
+        )
+        return fn(Kinv, a, x, log_signal_sq, log_length, log_noise_sq,
+                  *cot_flat)
+
+    return bwd
