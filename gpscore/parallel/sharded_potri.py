@@ -48,7 +48,7 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpscore.ops.kernels import ard_gram
-from gpscore.utils.precision import matmul, matmul_crit
+from gpscore.utils.precision import matmul, matmul_crit, mm_precision
 
 
 def _check_divisible(n: int, p: int, block: int) -> int:
@@ -96,9 +96,21 @@ def ard_gram_inverse_inplace_sharded(
         W = ard_gram(x_loc, x_full, ls, ll)
         W = W + noise * (col_ids[None, :] == row_ids[:, None]).astype(dtype)
 
+        # Layout discipline (measured on v5e, n=8192: 4 n^2 -> ~2 n^2 step
+        # temps, see BENCH_NOTES.md): no stage may transpose W itself. A
+        # whole-buffer ``W.T`` (or ``slice(W).T`` wide as W) hands XLA layout
+        # assignment a {0,1} preference for that loop's carry while the
+        # GEMM-LHS slices in the other stages prefer {1,0}; the conflicting
+        # while-loop carries are then bridged by full-n^2/p relayout copies
+        # between the stages (one extra live buffer each). Transposes are
+        # confined to [b, b] pivot blocks and [n, b] strips.
+
         # ---- stage 1: right-looking blocked Cholesky, W <- L -------------
         # (panel recurrence of gpscore.parallel.sharded_cholesky, plus the
-        # half-log-det accumulated while the pivots are at hand)
+        # half-log-det accumulated while the pivots are at hand). The
+        # trailing Schur update walks active column chunks (fori_loop with
+        # traced lower bound) instead of a full-width masked GEMM: n^3/p
+        # FLOPs total instead of 2 n^3/p.
         def chol_step(kk, carry):
             W, hld = carry
             kb = kk * b
@@ -106,10 +118,17 @@ def ard_gram_inverse_inplace_sharded(
             local_off = kb - owner * rows_per
             D_contrib = lax.dynamic_slice(W, (local_off, kb), (b, b))
             D = lax.psum(jnp.where(idx == owner, D_contrib, 0.0), axis)
-            L_kk = jnp.linalg.cholesky(D)
+            # D.T == D exactly (the Schur updates keep the pivot block
+            # bit-symmetric); the transpose breaks the cholesky leaf's {0,1}
+            # operand-layout preference from propagating through the slice
+            # into W's loop carry (layout note above / commit 3b94eda).
+            L_kk = jnp.linalg.cholesky(D.T)
             hld = hld + jnp.sum(jnp.log(jnp.diagonal(L_kk)))
+            Linv_kk = solve_triangular(L_kk, eye_b, lower=True)
             C = lax.dynamic_slice(W, (0, kb), (rows_per, b))
-            Lcol = solve_triangular(L_kk, C.T, lower=True).T
+            # C L_kk^-T via the explicit [b, b] inverse: equals the
+            # triangular solve against C.T without transposing a W slice.
+            Lcol = matmul(C, Linv_kk.T)
             Lcol = jnp.where((row_ids >= kb)[:, None], Lcol, 0.0)
             strip = lax.psum(
                 lax.dynamic_update_slice(
@@ -117,18 +136,29 @@ def ard_gram_inverse_inplace_sharded(
                 ),
                 axis,
             )
-            # matmul_crit: one-pass bf16 Schur drift turns trailing pivots
-            # negative (gpscore/ops/potri_inplace.py measured note).
-            update = matmul_crit(Lcol, strip.T)
-            trailing = (col_ids >= kb + b)[None, :]
-            W = W - jnp.where(trailing, update, 0.0)
+
+            def upd_body(jp, W):
+                s2 = jp * b
+                Sb = lax.dynamic_slice(strip, (s2, 0), (b, b))
+                blk = lax.dynamic_slice(W, (0, s2), (rows_per, b))
+                # matmul_crit: one-pass bf16 Schur drift turns trailing
+                # pivots negative (gpscore/ops/potri_inplace.py measured
+                # note).
+                blk = blk - matmul_crit(Lcol, Sb.T)
+                return lax.dynamic_update_slice(W, blk, (0, s2))
+
+            W = lax.fori_loop(kk + 1, k, upd_body, W)
             W = lax.dynamic_update_slice(W, Lcol, (0, kb))
             return W, hld
 
         W, hld = lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), dtype)))
-        # the trailing updates leave garbage above the diagonal; stages 2-3
-        # rely on an exactly-zero strict upper triangle.
-        W = jnp.where(col_ids[None, :] <= row_ids[:, None], W, 0.0)
+        # Stage 1's panel solves leave roundoff-scale garbage above the
+        # diagonal of each pivot block. No whole-W masking pass is needed:
+        # stage 2 rewrites every column strip from masked inputs only — its
+        # psum-assembled strip has exact zeros for rows < s (the Lcol mask),
+        # the pivot block is tril-masked below, and the acc GEMM reads only
+        # columns stage 2 already rewrote — so L^-1 comes out with an
+        # exactly-zero strict upper triangle, which stage 3 relies on.
 
         # ---- stage 2: in-place triangular inversion, W <- L^-1 -----------
         # Right-to-left: X[t:, s:t] = -X[t:, t:] L[t:, s:t] X_ss, where the
@@ -148,7 +178,9 @@ def ard_gram_inverse_inplace_sharded(
                 ),
                 axis,
             )
-            Ljj = lax.dynamic_slice(strip, (s, 0), (b, b))
+            # tril: the pivot block carries stage 1's roundoff-scale upper
+            # garbage (no whole-W masking pass exists; see stage-1 tail note)
+            Ljj = jnp.tril(lax.dynamic_slice(strip, (s, 0), (b, b)))
             Xjj = solve_triangular(Ljj, eye_b, lower=True)
 
             def acc_body(jp, acc):
@@ -183,8 +215,28 @@ def ard_gram_inverse_inplace_sharded(
             Mcol = jnp.where(
                 mask_ge_s, lax.dynamic_slice(W, (0, s), (rows_per, b)), 0.0
             )
-            B_full = lax.psum(matmul(W.T, Mcol), axis)  # [n, b]
-            B_loc = lax.dynamic_slice(B_full, (row0, 0), (rows_per, b))
+
+            # Partial B rows, transposed and active chunks only (j < s is
+            # never consumed): B^T[c, j] = sum_r Mcol[r, c] W[r, j],
+            # contracted via dot_general on the local row axis — no W-wide
+            # transpose (layout note above), the band mirror consumes B^T
+            # directly, and n^3/p FLOPs total instead of the full-width
+            # 2 n^3/p.
+            def b_body(jp, BpartT):
+                s2 = jp * b
+                Wc = lax.dynamic_slice(W, (0, s2), (rows_per, b))
+                blk = lax.dot_general(
+                    Mcol, Wc, (((0,), (0,)), ((), ())),
+                    precision=mm_precision(),
+                )
+                return lax.dynamic_update_slice(BpartT, blk, (0, s2))
+
+            BpartT = lax.fori_loop(
+                pi, k, b_body,
+                lax.pcast(jnp.zeros((b, n), dtype), (axis,), to="varying"),
+            )
+            B_fullT = lax.psum(BpartT, axis)  # [b, n]
+            B_loc = lax.dynamic_slice(B_fullT, (0, row0), (b, rows_per)).T
             cur = lax.dynamic_slice(W, (0, s), (rows_per, b))
             W = lax.dynamic_update_slice(
                 W, jnp.where(mask_ge_s, B_loc, cur), (0, s)
@@ -192,7 +244,7 @@ def ard_gram_inverse_inplace_sharded(
             band = lax.dynamic_slice(W, (local_off, 0), (b, n))
             upd = jnp.where(
                 jnp.logical_and(idx == owner, col_ids >= s + b)[None, :],
-                B_full.T,
+                B_fullT,
                 band,
             )
             return lax.dynamic_update_slice(W, upd, (local_off, 0))
