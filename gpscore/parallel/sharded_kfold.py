@@ -260,6 +260,17 @@ def make_sharded_fused_kfold_fit_step(
             jax.lax.dynamic_slice(Kinv, (b * nb, b * nb), (nb, nb))
             for b in range(fold_k)
         ])
+        # Replicate the fold blocks explicitly: stacked diagonal slices of the
+        # row-sharded K^-1 inherit a sharding GSPMD cannot bridge to the
+        # fold-batched layout its blocked-cholesky expansion wants without an
+        # "involuntary full rematerialization" (replicate-then-reshard) —
+        # seen as an SPMD warning in the dryrun. The fold cholesky/solves
+        # gather their operands either way; doing it here is one explicit
+        # all_gather of n^2/fold_k, and every downstream reshard becomes a
+        # free slice of a replicated tensor.
+        A = jax.lax.with_sharding_constraint(
+            A, NamedSharding(mesh, P())
+        )
         return a, A, Kinv
 
     @jax.custom_vjp
