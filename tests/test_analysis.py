@@ -20,6 +20,8 @@ from gpscore.analysis import (
 )
 from gpscore.data import sample_synthetic_1d
 
+pytestmark = pytest.mark.slow  # statistical minima checks over parameter sweeps
+
 
 @pytest.fixture(scope="module")
 def small():

@@ -6,12 +6,15 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from experiments.common import run_sweep  # noqa: E402
 from gpscore.fit import Schedule  # noqa: E402
 from gpscore.utils.params import GPParams  # noqa: E402
+
+pytestmark = pytest.mark.slow  # end-to-end experiment drivers
 
 
 def _setup(rng, n=32, replicates=2):

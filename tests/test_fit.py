@@ -31,6 +31,7 @@ def test_objective_finite_and_descends(synth, rule):
     assert res.loss_history[-1] < res.loss_history[0]
 
 
+@pytest.mark.slow
 def test_es_objective_descends(synth):
     """ES is stochastic per iteration; measure descent at a FIXED evaluation key."""
     loss = make_objective("es", model="exact", num_sim=64)

@@ -14,6 +14,8 @@ import pytest
 
 from gpscore.ops.fold_core import fold_precision_stats
 
+pytestmark = pytest.mark.slow  # fold-consumer parity incl. MC-sample reference
+
 
 def _spd_batch(rng, k, nb):
     M = rng.standard_normal((k, nb, nb)).astype(np.float32)

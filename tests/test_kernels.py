@@ -61,6 +61,7 @@ def test_pallas_gram_matches_jnp(rng, n, m, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_gram_custom_vjp_matches_jnp_grad(rng):
     x = jnp.asarray(rng.standard_normal((17, 3)).astype(np.float32))
     xp = jnp.asarray(rng.standard_normal((11, 3)).astype(np.float32))

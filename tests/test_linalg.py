@@ -81,6 +81,7 @@ def test_symmetric_sqrt(rng):
     np.testing.assert_allclose(np.asarray(R), np.asarray(R).T, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_matches_builtin(rng):
     from gpscore.ops.block_cholesky import blocked_cholesky
 
@@ -94,6 +95,7 @@ def test_blocked_cholesky_matches_builtin(rng):
         )
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_differentiable(rng):
     from gpscore.ops.block_cholesky import blocked_cholesky
 

@@ -15,6 +15,8 @@ from gpscore.parallel import (
 )
 from gpscore.utils.params import GPParams
 
+pytestmark = pytest.mark.slow  # distributed parity on the 8-device CPU mesh at realistic sizes
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

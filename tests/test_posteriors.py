@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracle
 from gpscore.models import (
@@ -330,6 +331,7 @@ def test_kfold_fitc_lowrank_matches_dense_forms(rng):
     )
 
 
+@pytest.mark.slow
 def test_lowrank_fold_sampler_covariance(rng):
     """Empirical covariance of the O(nb(m+S)) sampler -> A^-1."""
     from gpscore.models.fitc import kfold_fitc, kfold_fitc_lowrank, lowrank_fold_sample

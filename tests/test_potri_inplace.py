@@ -31,7 +31,7 @@ def _problem(rng, n, d=3):
 
 
 class TestInplacePipeline:
-    @pytest.mark.parametrize("n,block", [(64, 16), (64, 64), (96, 32)])
+    @pytest.mark.parametrize("n,block", [(64, 64), pytest.param(64, 16, marks=pytest.mark.slow), pytest.param(96, 32, marks=pytest.mark.slow)])
     def test_matches_spd_inverse_exact_multiple(self, rng, n, block):
         x, y, s, ell, nu = _problem(rng, n)
         Kinv = ard_gram_inverse_inplace(s, ell, nu, x, n, block)
@@ -41,6 +41,7 @@ class TestInplacePipeline:
             np.asarray(Kinv), np.asarray(want), rtol=5e-4, atol=5e-5
         )
 
+    @pytest.mark.slow
     def test_padded_system_is_exactly_block_diagonal(self, rng):
         """Masked padding => blockdiag(K_hat^-1, (1+noise)^-1 I) exactly:
         zero cross-terms (bit-exact, not just small) and the real block equal
@@ -87,7 +88,7 @@ class TestInplacePipeline:
 class TestFusedInplaceParity:
     """inplace=True vs inplace=False through the custom-VJP cores."""
 
-    @pytest.mark.parametrize("n,block", [(52, 16), (64, 16), (96, 37)])
+    @pytest.mark.parametrize("n,block", [(64, 16), pytest.param(52, 16, marks=pytest.mark.slow), pytest.param(96, 37, marks=pytest.mark.slow)])
     def test_loo_value_and_grads(self, rng, n, block):
         x, y, s, ell, nu = _problem(rng, n)
 
@@ -110,7 +111,7 @@ class TestFusedInplaceParity:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
-    @pytest.mark.parametrize("n,block", [(52, 16), (96, 32)])
+    @pytest.mark.parametrize("n,block", [(52, 16), pytest.param(96, 32, marks=pytest.mark.slow)])
     def test_kfold_value_and_grads(self, rng, n, block):
         x, y, s, ell, nu = _problem(rng, n)
         fk = 4
@@ -136,7 +137,8 @@ class TestFusedInplaceParity:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
-    @pytest.mark.parametrize("n,block,inplace", [(52, 16, True), (96, 32, True),
+    @pytest.mark.parametrize("n,block,inplace", [(52, 16, True),
+                                                 pytest.param(96, 32, True, marks=pytest.mark.slow),
                                                  (96, 32, False)])
     def test_nlml_value_and_grads(self, rng, n, block, inplace):
         """Fused ard_nlml == nlml_exact (value + grads), both potri branches."""

@@ -69,6 +69,7 @@ def test_dss_vs_scipy_mvn_logpdf(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_energy_score_converges_to_crps_in_1d():
     """For a univariate Gaussian with beta=1, ES == CRPS; the MC estimate must
     approach the closed form."""
@@ -86,6 +87,7 @@ def test_energy_score_converges_to_crps_in_1d():
     np.testing.assert_allclose(got, want, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_energy_score_prefers_truth(rng):
     """ES propriety (MC): correct covariance scores better than badly wrong one."""
     n = 4
@@ -144,6 +146,7 @@ def test_dss_precision_matches_cov_form(rng):
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_energy_score_precision_statistically_matches_cov_form(rng):
     """Same Gaussian sampled through precision vs covariance factors: MC
     estimates agree within sampling error."""

@@ -19,6 +19,8 @@ from gpscore.parallel.sharded_potri import (
     sharded_diag,
 )
 
+pytestmark = pytest.mark.slow  # sharded potri parity on the CPU mesh
+
 
 def _setup(rng, n, d):
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))

@@ -71,6 +71,7 @@ def test_matmul_mode_switching():
     assert get_matmul_mode() == "highest"
 
 
+@pytest.mark.slow
 def test_objective_finite_under_reduced_modes(rng):
     """The fused large-n path computes finite values/grads when traced under
     each reduced mode (numerics identical on the CPU test backend — TPU-side
