@@ -23,7 +23,11 @@ the saved input A — k nb^3 extra FLOPs = n^3/k^2, negligible):
     A_bar  = -sym(u e^T)                          u = A^-1 e_bar
              + (hld_bar/2) A^-1
              - A^-1 diag(d_bar) A^-1
-             + chol_vjp(La, tril(-La^-T W_bar^T La^-T))   W_bar = z_bar^T eps^T
+             + 1/2 La^-T (P + P^T) La^-1          P = -Phi(eps eps_bar^T),
+                                                  eps_bar = La^-1 z_bar^T
+(the sample term is the Cholesky VJP chol_vjp(La, tril(-La^-T W_bar^T La^-T)),
+W_bar = z_bar^T eps^T, collapsed in closed form — no La, W_bar, or La_bar
+buffer exists; derivation at the code site)
 
 (the symmetrization is exact: A is a symmetric function of K^-1, so only the
 symmetric part of A_bar survives the downstream parameter contraction).
@@ -45,6 +49,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gpscore.ops import potri_inplace
 from gpscore.utils.precision import matmul, matmul_crit
 
 
@@ -166,7 +171,14 @@ def _fold_chol_inv(A):
     # layout story in the module docstring); the transpose absorbs the flip
     # as a bitcast at the fold-block boundary instead.
     ApT = jnp.swapaxes(Ap, -1, -2)
-    La = jnp.stack([_chol_inplace_2d(ApT[f], b) for f in range(A.shape[0])])
+    if nb_pad // b >= potri_inplace._FORI_MIN_PANELS:
+        # bounded-trace stage (compile wall; potri_inplace fori notes)
+        La = jnp.stack([
+            potri_inplace.chol_inplace_fori(ApT[f], b)[0]
+            for f in range(A.shape[0])
+        ])
+    else:
+        La = jnp.stack([_chol_inplace_2d(ApT[f], b) for f in range(A.shape[0])])
     return La, tri_inverse_lower(La)
 
 
@@ -224,10 +236,9 @@ def fold_precision_stats(A, a, eps, want_inv_diag: bool = True) -> FoldStats:
 
 def _fps_fwd(A, a, eps, want_inv_diag):
     stats, (La, Li) = _stats_forward(A, a, eps, want_inv_diag)
-    # Residual: the factor inverse only — every adjoint is a GEMM against
-    # it, and the sample path's Cholesky VJP recomputes La = Li^-1 via the
-    # GEMM recursion (k nb^3/3 FLOPs for an n^2/k buffer NOT kept live
-    # between forward and backward). A itself is not kept either.
+    # Residual: the factor inverse only — every adjoint (including the
+    # sample path's collapsed Cholesky VJP) is a GEMM against Li. Neither A
+    # nor La is kept.
     del La
     return stats, (Li, a, eps, stats.e)
 
@@ -268,25 +279,27 @@ def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
         A_bar = A_bar - matmul(Ainv * d_bar_p[:, None, :], Ainv)
 
     if eps.shape[-1]:
-        # z = La^-T eps (per fold, columns of eps are draws). With W = La^-T:
-        #   W_bar  = Y_bar eps^T,  Y_bar = z_bar^T
-        #   La_bar = tril(-La^-T W_bar^T La^-T)      (M = La^-1 inverse rule)
-        #   A_bar += 1/2 La^-T (P + P^T) La^-1,  P = Phi(La^T La_bar)
+        # z = La^-T eps (per fold, columns of eps are draws). The naive chain
+        #   M_bar = z_bar^T eps^T -> La_bar = tril(-La^-T M_bar^T La^-T)
+        #   -> A_bar += 1/2 La^-T (P + P^T) La^-1,  P = Phi(La^T La_bar)
+        # materializes M_bar and La_bar ([k, nb, nb] each) and RECOMPUTES La
+        # from Li — three extra n^2/k buffers plus an nb^3/3 recursion that
+        # capped the ES ceiling ~4k rows below dss/kc (RESULTS.md round 2).
+        # It collapses exactly: La^T La_bar = -M_bar^T La^-T (the tril dropped
+        # from La_bar contributes Phi(upper * strictly-upper) = Phi(strictly
+        # upper) = 0), and M_bar^T La^-T = eps (La^-1 z_bar^T)^T = eps G^T
+        # with G = La^-1 z_bar^T — which IS eps_bar. So
+        #   P = -Phi(eps G^T),   A_bar += 1/2 La^-T (P + P^T) La^-1
+        # needs one [k, nb, nb] temp, two nb^2 S GEMMs, and no La at all.
         eps_p = _zero_pad_cols(eps, nb_pad)
         Y_bar = _zero_pad_cols(
             jnp.swapaxes(z_bar, -1, -2), nb_pad
         )  # [k, nb_pad, S]
-        W_bar = matmul(Y_bar, jnp.swapaxes(eps_p, -1, -2))  # [k, nb_pad, ^2]
+        G = matmul(Li, Y_bar)  # La^-1 z_bar^T = eps_bar (padded)
+        P = -_phi(matmul(eps_p, jnp.swapaxes(G, -1, -2)))
         LiT = jnp.swapaxes(Li, -1, -2)  # La^-T
-        La_bar = jnp.tril(
-            -matmul(LiT, matmul(jnp.swapaxes(W_bar, -1, -2), LiT))
-        )
-        from gpscore.ops.block_cholesky import tri_inverse_lower
-
-        La = tri_inverse_lower(Li)  # recomputed, not a residual
-        P = _phi(matmul(jnp.swapaxes(La, -1, -2), La_bar))
         A_bar = A_bar + 0.5 * matmul(LiT, matmul(P + jnp.swapaxes(P, -1, -2), Li))
-        eps_bar = matmul(Li, Y_bar)[:, :nb, :]  # W^T Y_bar = La^-1 z_bar^T
+        eps_bar = G[:, :nb, :]
     else:
         eps_bar = jnp.zeros_like(eps)
 

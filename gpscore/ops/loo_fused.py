@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from gpscore.ops import linalg
 from gpscore.ops.block_cholesky import tri_inverse_lower
 from gpscore.ops.kernels import ard_gram, gram
-from gpscore.utils.precision import matmul
+from gpscore.utils.precision import matmul, matmul_acc32, storage_dtype
 
 
 # At and above this n, the forward routes through the in-place potri pipeline
@@ -89,10 +89,17 @@ def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
         n_pad = -(-n // block) * block
         x_pad = pp.pad_rows(x, n_pad)
         y_pad = pp.zero_pad(y.reshape(n), n_pad)
+        # storage_dtype() is trace-time: bfloat16 under matmul_mode("bf16"),
+        # halving the n^2 HBM term (K^-1 residual AND the forward's working
+        # buffer). All O(n)-sized outputs stay fp32 via fp32-accumulating
+        # reads (matmul_acc32) — never a mixed-dtype jnp.matmul, which would
+        # materialize an n^2 fp32 upcast of the bf16 buffer.
+        st = storage_dtype()
         Kinv = pp.ard_gram_inverse_inplace(
-            log_signal_sq, log_length, log_noise_sq, x_pad, n, block
+            log_signal_sq, log_length, log_noise_sq, x_pad, n, block,
+            storage=st,
         )
-        a = matmul(Kinv, y_pad.reshape(n_pad, 1))[:, 0]
+        a = matmul_acc32(Kinv, y_pad.astype(st).reshape(n_pad, 1))[:, 0]
         return a, Kinv, x_pad
     K = gram(x, x, log_signal_sq, log_length, kind="ard")
     K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
@@ -121,7 +128,10 @@ def _stream_param_grads(
     """
     n = a.shape[0]
     d_dim = x.shape[1]
-    dtype = Kinv.dtype
+    # fp32 reductions regardless of the K^-1 storage dtype: every block
+    # contribution is fp32 (extra_rows contracts bf16 operands with fp32
+    # accumulation; the rank-1 term and Gram recomputation are fp32).
+    dtype = jnp.float32
 
     z = x * jnp.exp(-jnp.reshape(log_length, (1, -1)))
 
@@ -202,7 +212,7 @@ def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
     inplace = _resolve_inplace(n, inplace)
     a, Kinv, _ = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
                                block, inplace)
-    return a[:n], jnp.diagonal(Kinv)[:n]
+    return a[:n], jnp.diagonal(Kinv)[:n].astype(jnp.float32)
 
 
 def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
@@ -210,7 +220,7 @@ def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
     inplace = _resolve_inplace(n, inplace)
     a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
                                    x, y, block, inplace)
-    return (a[:n], jnp.diagonal(Kinv)[:n]), (
+    return (a[:n], jnp.diagonal(Kinv)[:n].astype(jnp.float32)), (
         Kinv, a, log_signal_sq, log_length, log_noise_sq, x_pad
     )
 
@@ -224,10 +234,13 @@ def _loo_bwd(block, inplace, res, cot):
 
         a_bar = zero_pad(a_bar, n_pad)
         d_bar = zero_pad(d_bar, n_pad)
-    w = matmul(Kinv, a_bar.reshape(n_pad, 1))[:, 0]
+    w = matmul_acc32(Kinv, a_bar.astype(Kinv.dtype).reshape(n_pad, 1))[:, 0]
 
     def extra_rows(Kinv_b):
-        return -matmul(Kinv_b * d_bar[None, :], Kinv)
+        # cast the scaled rows DOWN to the storage dtype for the sandwich
+        # GEMM (fp32-accumulated); a mixed-dtype matmul would upcast Kinv.
+        M = (Kinv_b * d_bar[None, :]).astype(Kinv.dtype)
+        return -matmul_acc32(M, Kinv)
 
     s_bar, l_bar, n_bar = _stream_param_grads(
         Kinv, a, w, extra_rows,
@@ -272,7 +285,7 @@ def _diag_blocks(Kinv, fold_k: int, n: int):
     return jnp.stack([
         jax.lax.dynamic_slice(Kinv, (b * nf, b * nf), (nf, nf))
         for b in range(fold_k)
-    ])
+    ]).astype(jnp.float32)
 
 
 def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block,
@@ -296,7 +309,7 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
 
         a_bar = zero_pad(a_bar, n_pad)
 
-    w = matmul(Kinv, a_bar.reshape(n_pad, 1))[:, 0]
+    w = matmul_acc32(Kinv, a_bar.astype(Kinv.dtype).reshape(n_pad, 1))[:, 0]
 
     def extra_rows(Kinv_b):
         size = Kinv_b.shape[0]
@@ -309,8 +322,9 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
         # (measured +1 n^2 at n = 16k; the slices below are O(size * nf)).
         M = jnp.concatenate(
             [
-                matmul(
-                    jax.lax.slice(Kinv_b, (0, f * nf), (size, (f + 1) * nf)),
+                matmul_acc32(
+                    jax.lax.slice(Kinv_b, (0, f * nf), (size, (f + 1) * nf))
+                    .astype(jnp.float32),
                     A_bar[f],
                 )
                 for f in range(fold_k)
@@ -321,7 +335,7 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
             M = jnp.concatenate(
                 [M, jnp.zeros((size, n_pad - n_real), M.dtype)], axis=1
             )
-        return -matmul(M, Kinv)
+        return -matmul_acc32(M.astype(Kinv.dtype), Kinv)
 
     s_bar, l_bar, n_bar = _stream_param_grads(
         Kinv, a, w, extra_rows,
@@ -363,13 +377,15 @@ def ard_nlml(log_signal_sq, log_length, log_noise_sq, x, y,
         n_pad = -(-n // block) * block
         x_pad = pp.pad_rows(x, n_pad)
         y_pad = pp.zero_pad(y.reshape(n), n_pad)
+        st = storage_dtype()
         L, hld = pp.ard_gram_chol_inplace(
-            log_signal_sq, log_length, log_noise_sq, x_pad, n, block
+            log_signal_sq, log_length, log_noise_sq, x_pad, n, block,
+            storage=st,
         )
         z = jax.scipy.linalg.solve_triangular(
-            L, y_pad.reshape(n_pad, 1), lower=True
+            L, y_pad.astype(st).reshape(n_pad, 1), lower=True
         )
-        return const + hld + 0.5 * jnp.sum(z * z)
+        return const + hld + 0.5 * jnp.sum(z.astype(jnp.float32) ** 2)
     K = gram(x, x, log_signal_sq, log_length, kind="ard")
     K_hat = K + jnp.exp(log_noise_sq) * jnp.eye(n, dtype=K.dtype)
     L = linalg.chol_factor(K_hat)
@@ -389,9 +405,9 @@ def _nlml_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
         y_pad = pp.zero_pad(y.reshape(n), n_pad)
         Kinv, hld = pp.ard_gram_inverse_inplace(
             log_signal_sq, log_length, log_noise_sq, x_pad, n, block,
-            return_half_logdet=True,
+            return_half_logdet=True, storage=storage_dtype(),
         )
-        a = matmul(Kinv, y_pad.reshape(n_pad, 1))[:, 0]
+        a = matmul_acc32(Kinv, y_pad.astype(Kinv.dtype).reshape(n_pad, 1))[:, 0]
         quad = 0.5 * jnp.sum(y_pad * a)
     else:
         K = gram(x, x, log_signal_sq, log_length, kind="ard")
@@ -420,13 +436,14 @@ def _nlml_bwd(block, inplace, res, v_bar):
         colmask = (jnp.arange(n_pad) < n_real).astype(Kinv.dtype)[None, :]
 
         def extra_rows(Kinv_b):
-            return half * (Kinv_b * colmask)
+            # elementwise upcast of one O(n b) row block only
+            return half * (Kinv_b.astype(jnp.float32) * colmask)
 
     else:
         x_stream = x
 
         def extra_rows(Kinv_b):
-            return half * Kinv_b
+            return half * Kinv_b.astype(jnp.float32)
 
     s_bar, l_bar, n_bar = _stream_param_grads(
         Kinv, a, w, extra_rows,

@@ -19,7 +19,13 @@ LAPACK ``potrf -> trtri -> lauum`` (= ``potri``) pipeline re-expressed for XLA:
 - every GEMM operand read from ``W`` is a thin panel (<= n*b), never a 2-D
   slice of both axes (XLA has no views — a big slice is a big copy).
 
-Stages (all trace-time-unrolled over k = n/b outer panels, MXU GEMM bodies):
+The three stages exist in two trace disciplines selected by ``loop``:
+trace-unrolled scan chains (below; fastest to compile at small panel counts)
+and bounded-trace nested ``lax.fori_loop`` stages (``chol_inplace_fori`` /
+``_tri_inv_fori`` / ``_lauum_fori``; O(1) trace size — the fix for the
+super-linear XLA compile wall the unrolled chains hit at ~60+ panels).
+
+Unrolled stages (trace-time-unrolled over k = n/b outer panels, GEMM bodies):
 
 1. ``_gram_chol_inplace``  left-looking blocked Cholesky; panel j of K_hat is
    ``ard_gram(x[s:], x[s:s+b]) + noise I`` minus the rank-s left update,
@@ -199,9 +205,312 @@ def _check_padded(n, n_real, block):
         raise ValueError(f"n_real={n_real} out of range for padded n={n}")
 
 
+# ---------------------------------------------------------------------------
+# Bounded-trace (fori_loop) pipeline
+#
+# The trace-unrolled stages above emit O(n/b) distinct scan programs (one per
+# panel height), and XLA's compile time on those chains is super-linear in
+# panel count: n = 61,440 at b = 1024 (60 panels) compiled in ~5 min, b = 512
+# at n = 62,464 (122 panels) blew a 10-minute budget (BENCH_NOTES.md) — the
+# compile wall, not HBM, set the round-2 ceiling. The stages below re-express
+# the same three in-place stages with lax.fori_loop outer panels and NESTED
+# fori_loops over [b, b] blocks of the active (triangular) region, so
+#
+# - trace size is O(1) in n/b (every shape is b- or n-sized, never s-sized),
+# - FLOPs stay exact (the nested loops walk only the triangle — unlike the
+#   full-width-masked-panel trick of gpscore/parallel/sharded_potri.py, which
+#   pays ~3x on the Schur/accumulation stages and is only justified there by
+#   row-sharding),
+# - the buffer discipline is unchanged: one n x n carry W, every write a
+#   dynamic_update_slice with a single consumer (XLA aliases the whole chain),
+#   O(n*b) live thin panels.
+#
+# The nested [b, b] granularity trades per-iteration loop overhead
+# (~O(k^3/6) while-loop steps per stage) for bounded trace; at b >= 1024 each
+# step is a >= 2 GFLOP MXU GEMM and the overhead is noise (measured table in
+# BENCH_NOTES.md "fori vs unrolled").
+# ---------------------------------------------------------------------------
+
+
+def _gram_khat_full(log_signal_sq, log_length, log_noise_sq, x, n_real,
+                    storage=None, block=None):
+    """The masked-padded K_hat = blockdiag(K_ard(x[:n_real]) + noise I,
+    (1 + noise) I) built whole — the buffer the fori stages overwrite in
+    place (the Gram epilogue and diagonal scatter fuse into / alias the
+    cross-term GEMM output, so this is one n x n buffer, same peak as the
+    panel-generated left-looking stage 1).
+
+    With ``storage`` (e.g. bfloat16) the buffer is built in that dtype by a
+    fori loop of fp32 row panels (exact fp32 Gram arithmetic, ONE rounding on
+    store) — a whole-matrix fp32 Gram would itself exceed HBM at the sizes
+    bf16 storage exists for. ``block`` is the panel height (required then).
+    """
+    n = x.shape[0]
+    dtype = x.dtype
+    noise = jnp.exp(log_noise_sq)
+    ids = jnp.arange(n)
+    if storage is None or storage == dtype:
+        K = ard_gram(x, x, log_signal_sq, log_length)
+        if n_real < n:
+            m = ids < n_real
+            K = jnp.where(m[:, None] & m[None, :], K, jnp.zeros((), dtype))
+            diag = jnp.where(m, noise, 1.0 + noise)
+        else:
+            diag = jnp.broadcast_to(noise, (n,)).astype(dtype)
+        # where-form diagonal add, NOT a scatter (.at[ids, ids].add): the
+        # scatter refuses to alias the Gram and holds a second n^2 buffer
+        # (measured +1.0 n^2 at n = 8192); this elementwise form fuses into
+        # the Gram epilogue for zero extra residency.
+        return jnp.where(ids[:, None] == ids[None, :], K + diag[None, :], K)
+
+    b = block
+    d = x.shape[1]
+
+    def panel(pi, W):
+        s = pi * b
+        xb = lax.dynamic_slice(x, (s, 0), (b, d))
+        P = ard_gram(xb, x, log_signal_sq, log_length)  # [b, n] fp32
+        rid = s + jnp.arange(b)
+        if n_real < n:
+            P = jnp.where(
+                (rid < n_real)[:, None] & (ids < n_real)[None, :], P,
+                jnp.zeros((), dtype),
+            )
+            dval = jnp.where(rid < n_real, noise, 1.0 + noise)
+        else:
+            dval = jnp.broadcast_to(noise, (b,)).astype(dtype)
+        P = jnp.where(ids[None, :] == rid[:, None], P + dval[:, None], P)
+        return lax.dynamic_update_slice(W, P.astype(storage), (s, 0))
+
+    return lax.fori_loop(0, n // b, panel, jnp.zeros((n, n), storage))
+
+
+def chol_inplace_fori(W, b, n_real=None):
+    """(W <- L, half_logdet) right-looking blocked Cholesky of the SPD W,
+    bounded trace: outer fori over pivots, trailing Schur update as a nested
+    fori over the [b, b] blocks of the lower-triangular trailing region.
+
+    The pivot block is overwritten with the cholesky() output itself, so L
+    carries an exactly-zero strict upper triangle (the unrolled stage 1 and
+    the sharded twin leave roundoff garbage there for stage 2 to mask).
+    ``n_real`` masks pad rows out of the half log-det only — the factorization
+    itself relies on the caller's exact block-diagonal padding.
+    """
+    n = W.shape[0]
+    k = n // b
+    dtype = W.dtype
+    f32 = jnp.float32
+    eye_b = jnp.eye(b, dtype=f32)
+    row_ids = jnp.arange(n)
+    nr = n if n_real is None else n_real
+
+    def chol_step(kk, carry):
+        W, hld = carry
+        s = kk * b
+        D = lax.dynamic_slice(W, (s, s), (b, b))
+        # cholesky(D.T), NOT cholesky(D): the cholesky custom-call demands a
+        # column-major ({0,1}) operand, and XLA's layout assignment satisfies
+        # it by relayout-copying ALL OF W inside the loop body rather than
+        # relayouting the [b, b] slice (measured +1.0 n^2 and an n^2 copy per
+        # iteration at n = 16k; barriers/reshape anchors do not stop the
+        # propagation). D is bit-symmetric (Gram GEMM + symmetric Schur
+        # products), so D.T is exact and its transpose is a free bitcast into
+        # the layout the leaf wants — the same discipline as
+        # gpscore/parallel/sharded_potri.py's chol_step. Leaf factorizations
+        # run fp32 regardless of the storage dtype.
+        Lkk = jnp.linalg.cholesky(D.T.astype(f32))
+        ld = jnp.log(jnp.diagonal(Lkk))
+        ld = jnp.where(s + jnp.arange(b) < nr, ld, jnp.zeros((), f32))
+        hld = hld + jnp.sum(ld)
+        Linv = solve_triangular(Lkk, eye_b, lower=True)
+        C = lax.dynamic_slice(W, (0, s), (n, b))
+        # matmul_crit: one-pass bf16 drift in panel/Schur contractions turns
+        # trailing pivots indefinite (measured note at the unrolled stage 1).
+        # (Under bf16 storage the operands are bf16 and the single native
+        # pass is exact on them; robustness comes from the fp32 leaves.)
+        Lcol = matmul_crit(C, Linv.astype(dtype).T)
+        Lcol = jnp.where((row_ids >= s)[:, None], Lcol, jnp.zeros((), dtype))
+        Lcol = lax.dynamic_update_slice(Lcol, Lkk.astype(dtype), (s, 0))
+        W = lax.dynamic_update_slice(W, Lcol, (0, s))
+
+        def col_body(jp, W):
+            Sj = lax.dynamic_slice(Lcol, (jp * b, 0), (b, b))
+
+            def row_body(ip, W):
+                Bi = lax.dynamic_slice(Lcol, (ip * b, 0), (b, b))
+                blk = lax.dynamic_slice(W, (ip * b, jp * b), (b, b))
+                blk = blk - matmul_crit(Bi, Sj.T)
+                return lax.dynamic_update_slice(W, blk, (ip * b, jp * b))
+
+            return lax.fori_loop(jp, k, row_body, W)
+
+        W = lax.fori_loop(kk + 1, k, col_body, W)
+        return W, hld
+
+    return lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), jnp.float32)))
+
+
+def _tri_inv_fori(W, b):
+    """W: L (lower, zero strict upper) -> X = L^-1 stored in BOTH triangles,
+    bounded trace: lower gets X, the strict upper gets X^T (written block by
+    block as each column panel is computed), and the returned sidecar
+    ``Dstack`` [k, b, b] holds the transposed diagonal blocks X_jj^T.
+
+    Why both triangles: stage 3 (lauum) contracts the ROW index of L^-1, and
+    any [b, b] W-read contracted on dim 0 makes XLA's layout assignment vote
+    the whole carry column-major (the n^2-relayout pathology; stage-1 pivot
+    note). With X^T available in the upper triangle and X_jj^T in the
+    sidecar, every stage-3 GEMM reads W contracted on dim 1 (row-major) and
+    the carry stays {1,0}. The same discipline shapes this stage: the inner
+    accumulation computes acc^T directly via
+        dot_general(Lblk, Xblk, contract lhs dim0 / rhs dim1)
+    so the W-read (Xblk) is dim-1-contracted; the dim-0-contracted operand
+    (Lblk) comes from the [n, b] column snapshot, whose relayout costs n*b,
+    not n^2. Per pivot s: X[t:, s:t] = -X[t:, t:] L[t:, s:t] X_ss, with the
+    original L column snapshotted first because the row blocks of column s
+    are overwritten top-down while later rows still read them.
+    """
+    n = W.shape[0]
+    k = n // b
+    dtype = W.dtype
+    f32 = jnp.float32
+    eye_b = jnp.eye(b, dtype=f32)
+
+    def trtri_step(i, carry):
+        W, Dstack = carry
+        pi = k - 1 - i
+        s = pi * b
+        Lcol = lax.dynamic_slice(W, (0, s), (n, b))  # original L, pre-write
+        Ljj = lax.dynamic_slice(Lcol, (s, 0), (b, b))
+        # PLAIN lower solve: measured in isolation it anchors the layout
+        # chain (0.160 n^2) — the trans=1 form re-couples it (+1 n^2).
+        # Leaf solve in fp32 regardless of storage dtype.
+        Xjj = solve_triangular(Ljj.astype(f32), eye_b, lower=True)
+        XjjT = Xjj.T
+
+        def row_body(ip, W):
+            def acc_body(jp, accT):
+                Lblk = lax.dynamic_slice(Lcol, (jp * b, 0), (b, b))
+                Xblk = lax.dynamic_slice(W, (ip * b, jp * b), (b, b))
+                # accT += Lblk^T Xblk^T, both transposes absorbed into the
+                # dot dims (lhs contract dim0 = snapshot, rhs dim1 = W);
+                # fp32 accumulation across blocks regardless of storage.
+                return accT + lax.dot_general(
+                    Lblk, Xblk, (((0,), (1,)), ((), ())),
+                    precision=mm_precision(), preferred_element_type=f32,
+                )
+
+            accT = lax.fori_loop(
+                pi + 1, ip + 1, acc_body, jnp.zeros((b, b), f32)
+            )
+            bandblk = -matmul(XjjT, accT)  # = (X[ip-block, s-col])^T
+            bandblk = bandblk.astype(dtype)
+            W = lax.dynamic_update_slice(W, bandblk, (s, ip * b))  # X^T
+            W = lax.dynamic_update_slice(W, bandblk.T, (ip * b, s))  # X
+            return W
+
+        W = lax.fori_loop(pi + 1, k, row_body, W)
+        W = lax.dynamic_update_slice(W, Xjj.astype(dtype), (s, s))
+        Dstack = lax.dynamic_update_slice(Dstack, XjjT[None], (pi, 0, 0))
+        return W, Dstack
+
+    return lax.fori_loop(
+        0, k, trtri_step, (W, jnp.zeros((k, b, b), f32))
+    )
+
+
+def _lauum_fori(W, Dstack, b):
+    """(W, Dstack) from :func:`_tri_inv_fori` -> K_hat^-1 = L^-T L^-1, full
+    symmetric, in place, bounded trace.
+
+    With U := X^T = L^-T stored in W's strict upper triangle and U's diagonal
+    blocks in ``Dstack``, the product is computed row-major end to end:
+
+        B(jp-row, s-col) = sum_{r >= jp} U[jp, r] U[s, r]^T
+                         = dot_general(U[jp, r], U[s, r], contract dim1/dim1)
+
+    — no W-read is ever contracted on dim 0, so layout assignment keeps the
+    carry row-major (the n^2-relayout pathology; stage-1 pivot note).
+
+    Read/write hazards (pi ascending, jp ascending inside):
+    - panel pi writes B into the lower+diagonal blocks (jp*b, s), a region
+      stage 3 never reads (it reads the strict upper + Dstack);
+    - the mirror B^T lands at (s, jp*b), overwriting U's row band s block by
+      block; step jp's reads of row s touch only columns >= jp*b, written at
+      this or later steps, and later panels pi' > pi read only U rows >= pi';
+    - U row jp is consumed at panels pi <= jp and overwritten by panel jp's
+      own mirror, after its last read.
+    """
+    n = W.shape[0]
+    k = n // b
+    dtype = W.dtype
+    f32 = jnp.float32
+    eye_b = jnp.eye(b, dtype=f32)
+
+    def lauum_step(pi, W):
+        s = pi * b
+        Dps = lax.dynamic_slice(Dstack, (pi, 0, 0), (1, b, b))[0]
+
+        def col_body(jp, W):
+            sj = jp * b
+            Djp = lax.dynamic_slice(Dstack, (jp, 0, 0), (1, b, b))[0]
+            # r == jp term: U[jp, jp] = Dstack[jp]; U[s, jp] is the strict
+            # upper for jp > pi, and U[pi, pi] = Dps at jp == pi (the W
+            # diagonal block holds X, not U — never read it here).
+            Us_jp = jnp.where(jp > pi, lax.dynamic_slice(W, (s, sj), (b, b)),
+                              Dps.astype(dtype))
+            first = lax.dot_general(
+                Djp.astype(dtype), Us_jp, (((1,), (1,)), ((), ())),
+                precision=mm_precision(), preferred_element_type=f32,
+            )
+
+            def acc_body(r, acc):
+                Ujp_r = lax.dynamic_slice(W, (sj, r * b), (b, b))
+                Us_r = lax.dynamic_slice(W, (s, r * b), (b, b))
+                return acc + lax.dot_general(
+                    Ujp_r, Us_r, (((1,), (1,)), ((), ())),
+                    precision=mm_precision(), preferred_element_type=f32,
+                )
+
+            B = lax.fori_loop(jp + 1, k, acc_body, first)
+            W = lax.dynamic_update_slice(W, B.astype(dtype), (sj, s))
+            # mirror B^T into the row band. NOT jnp's B.T: a bitcast
+            # transpose feeding the DUS hands layout assignment a {0,1}
+            # carry vote that relayouts all of W; an identity dot is a
+            # layout-constraint boundary producing a real row-major B^T for
+            # b^3 MACs (n^2 b/2 total — noise). HIGHEST: the 3-way bf16
+            # split recombines products with exact 1.0 losslessly.
+            BT = lax.dot_general(
+                eye_b, B, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cur = lax.dynamic_slice(W, (s, sj), (b, b))
+            upd = jnp.where(jp > pi, BT.astype(dtype), cur)
+            return lax.dynamic_update_slice(W, upd, (s, sj))
+
+        return lax.fori_loop(pi, k, col_body, W)
+
+    return lax.fori_loop(0, k, lauum_step, W)
+
+
+# "auto" loop dispatch: unrolled chains below this many panels, fori at or
+# above. Measured (CRPS-LOO step, BENCH_NOTES.md): fori is ~5%/2% slower at
+# k = 4/8, 9% FASTER at k = 15, and its O(1) trace removes the unrolled
+# chains' super-linear compile wall (~5 min at k = 60, >10 min at k = 122).
+_FORI_MIN_PANELS = 12
+
+
+def _resolve_loop(k_panels: int, loop: str) -> bool:
+    if loop not in ("auto", "fori", "unroll"):
+        raise ValueError(f"loop must be 'auto', 'fori' or 'unroll', got {loop!r}")
+    if loop == "auto":
+        return k_panels >= _FORI_MIN_PANELS
+    return loop == "fori"
+
+
 def ard_gram_inverse_inplace(
     log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048,
-    return_half_logdet: bool = False,
+    return_half_logdet: bool = False, loop: str = "auto", storage=None,
 ):
     """K_hat^-1 for K_hat = K_ard(x[:n_real]) + noise I, padded block-diagonal.
 
@@ -212,28 +521,56 @@ def ard_gram_inverse_inplace(
     With ``return_half_logdet=True`` returns ``(Kinv, half_logdet)`` where the
     half log-det covers the real block only (the NLML log-det term).
 
+    ``loop`` picks the stage implementation: ``"unroll"`` = the trace-unrolled
+    scan chains (O(n/block) trace), ``"fori"`` = the bounded-trace nested
+    fori_loop stages (O(1) trace — the compile-wall fix), ``"auto"`` = by
+    panel count (``_FORI_MIN_PANELS``). Same math, same buffer discipline.
+
+    ``storage`` (default: x.dtype = fp32) sets the dtype of the n x n
+    buffer; bfloat16 halves the HBM ceiling's n^2 term. Requires the fori
+    stages (leaf factorizations and cross-block accumulations stay fp32).
+
     Not differentiable — this is the forward of the :mod:`gpscore.ops.loo_fused`
     custom-VJP cores, whose backward streams the parameter contraction off the
     returned inverse.
     """
     _check_padded(x.shape[0], n_real, block)
-    W, hld = _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
-                                n_real, block)
-    W = _tri_inv_inplace(W, block)
-    Kinv = _lauum_inplace(W, block)
+    reduced = storage is not None and storage != x.dtype
+    if reduced and loop == "unroll":
+        raise ValueError("reduced-precision storage requires the fori stages")
+    if reduced or _resolve_loop(x.shape[0] // block, loop):
+        W = _gram_khat_full(log_signal_sq, log_length, log_noise_sq, x,
+                            n_real, storage, block)
+        W, hld = chol_inplace_fori(W, block, n_real)
+        W, Dstack = _tri_inv_fori(W, block)
+        Kinv = _lauum_fori(W, Dstack, block)
+    else:
+        W, hld = _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
+                                    n_real, block)
+        W = _tri_inv_inplace(W, block)
+        Kinv = _lauum_inplace(W, block)
     if return_half_logdet:
         return Kinv, hld
     return Kinv
 
 
 def ard_gram_chol_inplace(
-    log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048
+    log_signal_sq, log_length, log_noise_sq, x, n_real: int, block: int = 2048,
+    loop: str = "auto", storage=None,
 ):
     """(L, half_logdet) for the masked-padded K_hat, ~n^2 + O(n*block) peak.
 
     Stage 1 only — for consumers that need triangular solves against K_hat
     rather than its explicit inverse (fused NLML primal, large-n predictive).
+    ``loop`` / ``storage`` as in :func:`ard_gram_inverse_inplace`.
     """
     _check_padded(x.shape[0], n_real, block)
+    reduced = storage is not None and storage != x.dtype
+    if reduced and loop == "unroll":
+        raise ValueError("reduced-precision storage requires the fori stages")
+    if reduced or _resolve_loop(x.shape[0] // block, loop):
+        W = _gram_khat_full(log_signal_sq, log_length, log_noise_sq, x,
+                            n_real, storage, block)
+        return chol_inplace_fori(W, block, n_real)
     return _gram_chol_inplace(log_signal_sq, log_length, log_noise_sq, x,
                               n_real, block)

@@ -45,6 +45,14 @@ _MODES = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "fast": jax.lax.Precision.DEFAULT,
+    # "bf16" = bf16 STORAGE, not just bf16 passes: the large-n fused cores
+    # keep the n x n working buffer / K^-1 residual in bfloat16 (halving the
+    # HBM ceiling's n^2 term -> n ~ 80k+ on one 16 GB chip) and feed the MXU
+    # native one-pass bf16 operands with fp32 accumulation. Leaf
+    # factorizations and all O(n)/O(n b) reductions stay fp32. Requires the
+    # bounded-trace fori potri pipeline. Quantified error table:
+    # RESULTS.md "Reduced-precision MXU modes".
+    "bf16": jax.lax.Precision.DEFAULT,
 }
 _mode = "highest"
 
@@ -59,6 +67,8 @@ _CONFIG_SALT = {
     "highest": "highest",
     "high": "BF16_BF16_F32_X3",
     "fast": "bfloat16",
+    "bf16": "tensorfloat32",  # distinct salt only — per-op dtypes/precision
+    # are explicit; this just forces the retrace on mode switches.
 }
 
 
@@ -99,10 +109,30 @@ def mm_precision():
 
 def mm_precision_crit():
     """Precision for cancellation-critical contractions: the active mode,
-    floored at HIGH (one-pass bf16 NaNs in-place Cholesky chains)."""
+    floored at HIGH (one-pass bf16 NaNs in-place Cholesky chains). In "bf16"
+    storage mode the floor is meaningless — operands are already bfloat16,
+    so the MXU's single native pass IS the exact product of the stored
+    values; robustness comes from fp32 accumulation + fp32 leaves instead."""
     if _mode == "fast":
         return jax.lax.Precision.HIGH
     return _MODES[_mode]
+
+
+def storage_dtype():
+    """Trace-time dtype for the large-n cores' n x n buffers: bfloat16 in
+    "bf16" mode, float32 otherwise."""
+    return jnp.bfloat16 if _mode == "bf16" else jnp.float32
+
+
+def matmul_acc32(a, b):
+    """Matmul with explicit fp32 accumulation AND fp32 output regardless of
+    operand dtype — the bridge for reading bf16-stored buffers into fp32
+    reductions without an n^2 upcast (a mixed-dtype jnp.matmul would convert
+    the bf16 operand to a full fp32 copy first)."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=mm_precision(), preferred_element_type=jnp.float32,
+    )
 
 
 def default_dtype():

@@ -119,12 +119,17 @@ class TestInplaceFoldFactorization:
     exercised at toy size by lowering the thresholds, including non-divisible
     nb (identity-padded factors)."""
 
-    @pytest.mark.parametrize("nb", [16, 12])  # 12: pad 12 -> 16 with block 8
-    def test_values_and_vjp_match_reference(self, rng, monkeypatch, nb):
+    # nb=12: pad 12 -> 16 with block 8; fori=True exercises the
+    # bounded-trace chol_inplace_fori dispatch inside _fold_chol_inv
+    @pytest.mark.parametrize("nb,fori", [(16, False), (12, False), (16, True)])
+    def test_values_and_vjp_match_reference(self, rng, monkeypatch, nb, fori):
         import gpscore.ops.fold_core as fc
+        import gpscore.ops.potri_inplace as pp
 
         monkeypatch.setattr(fc, "_INPLACE_MIN_NB", 1)
         monkeypatch.setattr(fc, "_CHOL_BLOCK", 8)
+        if fori:
+            monkeypatch.setattr(pp, "_FORI_MIN_PANELS", 1)
         k, S = 3, 5
         A = _spd_batch(rng, k, nb)
         a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))

@@ -65,6 +65,110 @@ class TestInplacePipeline:
             rtol=1e-6,
         )
 
+    @pytest.mark.parametrize("n,block,n_pad", [(64, 16, 64), (52, 16, 64)])
+    def test_fori_matches_unrolled_bitwise_contract(self, rng, n, block, n_pad):
+        """The bounded-trace fori stages compute the same masked-padded
+        inverse + half log-det as the unrolled chains (same math, same
+        fp32 contraction granularity -> tight tolerance), including exact
+        zero cross-terms on the padded system."""
+        x, y, s, ell, nu = _problem(rng, n)
+        xp = pad_rows(x, n_pad)
+        K_hat = ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n)
+        want = linalg.spd_inverse(K_hat)
+        ref_hld = float(
+            jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(K_hat))))
+        )
+        for loop in ("fori", "unroll"):
+            Kinv, hld = ard_gram_inverse_inplace(
+                s, ell, nu, xp, n, block, return_half_logdet=True, loop=loop
+            )
+            np.testing.assert_allclose(
+                np.asarray(Kinv[:n, :n]), np.asarray(want),
+                rtol=5e-4, atol=5e-5,
+            )
+            np.testing.assert_allclose(float(hld), ref_hld, rtol=1e-5)
+            if n_pad > n:
+                assert float(jnp.max(jnp.abs(Kinv[n:, :n]))) == 0.0
+                assert float(jnp.max(jnp.abs(Kinv[:n, n:]))) == 0.0
+
+    def test_fori_dispatch_through_fused_core(self, rng, monkeypatch):
+        """With _FORI_MIN_PANELS forced down, the auto dispatch routes the
+        fused LOO core through the fori stages and reproduces the unrolled
+        values and gradients."""
+        import gpscore.ops.potri_inplace as pp
+
+        n, block = 64, 16
+        x, y, s, ell, nu = _problem(rng, n)
+
+        def f(s, ell, nu, y):
+            a, dg = ard_loo_solve_diag(s, ell, nu, x, y, block, True)
+            return jnp.sum(jnp.sin(a) * dg) + jnp.sum(jnp.sqrt(dg))
+
+        v0, g0 = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        monkeypatch.setattr(pp, "_FORI_MIN_PANELS", 1)
+        v1, g1 = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(s, ell, nu, y)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a_, b_ in zip(g1, g0):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
+            )
+
+    def test_bf16_storage_pipeline(self, rng):
+        """storage=bfloat16 runs the fori stages on a bf16 buffer with fp32
+        leaves: inverse within bf16 grade of the fp32 result, padding
+        cross-terms still exactly zero, dtype contract honored."""
+        n, block, n_pad = 52, 16, 64
+        x, y, s, ell, nu = _problem(rng, n)
+        K_hat = ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n)
+        want = np.asarray(linalg.spd_inverse(K_hat))
+        Kinv = ard_gram_inverse_inplace(
+            s, ell, nu, pad_rows(x, n_pad), n, block, storage=jnp.bfloat16
+        )
+        assert Kinv.dtype == jnp.bfloat16
+        got = np.asarray(Kinv.astype(jnp.float32))
+        scale = np.max(np.abs(want))
+        # bf16 storage: eps ~ 4e-3 times the (small-n) conditioning
+        assert np.max(np.abs(got[:n, :n] - want)) / scale < 0.1
+        assert float(jnp.max(jnp.abs(Kinv[n:, :n].astype(jnp.float32)))) == 0.0
+        with pytest.raises(ValueError, match="fori"):
+            ard_gram_inverse_inplace(
+                s, ell, nu, pad_rows(x, n_pad), n, block,
+                storage=jnp.bfloat16, loop="unroll",
+            )
+
+    def test_bf16_mode_through_fused_cores(self, rng):
+        """matmul_mode("bf16") switches the fused LOO/NLML cores to the
+        bf16-stored pipeline: fp32 output dtypes, values within bf16 grade,
+        gradients pointing the same way."""
+        from gpscore.ops.loo_fused import ard_nlml
+        from gpscore.utils.precision import matmul_mode
+
+        n, block = 64, 16
+        x, y, s, ell, nu = _problem(rng, n)
+
+        def f(s, ell, nu, y):
+            a, dg = ard_loo_solve_diag(s, ell, nu, x, y, block, True)
+            return jnp.sum(jnp.sin(a) * dg) + jnp.sum(jnp.sqrt(dg))
+
+        def fn(s, ell, nu, y):
+            return ard_nlml(s, ell, nu, x, y, block, True)
+
+        for fun in (f, fn):
+            v0, g0 = jax.value_and_grad(fun, argnums=(0, 1, 2))(s, ell, nu, y)
+            with matmul_mode("bf16"):
+                v1, g1 = jax.value_and_grad(fun, argnums=(0, 1, 2))(
+                    s, ell, nu, y
+                )
+            assert v1.dtype == jnp.float32
+            np.testing.assert_allclose(float(v1), float(v0), rtol=2e-2)
+            for a_, b_ in zip(g1, g0):
+                a_, b_ = np.ravel(a_), np.ravel(b_)
+                cos = float(
+                    np.dot(a_, b_)
+                    / (np.linalg.norm(a_) * np.linalg.norm(b_) + 1e-30)
+                )
+                assert cos > 0.999
+
     def test_pad_helpers(self):
         x = jnp.arange(6.0).reshape(3, 2)
         xp = pad_rows(x, 5)

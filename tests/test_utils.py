@@ -60,8 +60,18 @@ def test_matmul_mode_switching():
     with matmul_mode("high"):
         assert mm_precision() == jax.lax.Precision.HIGH
         assert mm_precision_crit() == jax.lax.Precision.HIGH
+    with matmul_mode("bf16"):
+        # bf16 STORAGE mode: one-pass native bf16 passes + bfloat16-stored
+        # large-n buffers (storage_dtype()).
+        from gpscore.utils.precision import storage_dtype
+
+        assert mm_precision() == jax.lax.Precision.DEFAULT
+        assert storage_dtype() == jnp.bfloat16
+    from gpscore.utils.precision import storage_dtype
+
+    assert storage_dtype() == jnp.float32
     with pytest.raises(ValueError, match="mode"):
-        set_matmul_mode("bf16")
+        set_matmul_mode("fp8")
     # the context restores even on error
     try:
         with matmul_mode("fast"):
