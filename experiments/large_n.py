@@ -89,11 +89,13 @@ def main(argv=None):
                     help="host-chunk size (tunnel kills multi-minute programs)")
     ap.add_argument("--lr-scale", type=float, default=1.0)
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast"],
+                    choices=["highest", "high", "fast", "bf16"],
                     help="contraction precision for the FIT (gpscore.utils."
                          "precision.set_matmul_mode): 'high' ~1.8x, 'fast' "
-                         "~3x the GEMM phases on v5e; evaluation always runs "
-                         "'highest'")
+                         "~3x the GEMM phases on v5e; 'bf16' additionally "
+                         "stores the n x n buffers in bfloat16 (~4.4x and "
+                         "HALF the HBM -> n ~ 82k on one chip); evaluation "
+                         "always runs 'highest'")
     ap.add_argument("--polish-iters", type=int, default=0,
                     help="after a reduced-precision fit, run this many final "
                          "GD iterations at 'highest' (fast-fit -> "
