@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpscore.ops import linalg
 from gpscore.scoring import rules
-from gpscore.utils.precision import matmul
+from gpscore.utils.precision import matmul, matmul_acc32, storage_dtype
 
 KFOLD_RULES = ("dss", "es", "kc")
 
@@ -252,14 +252,14 @@ def make_sharded_fused_kfold_fit_step(
         nb = n // fold_k
         Kinv, _ = ard_gram_inverse_inplace_sharded(
             log_signal_sq, log_length, log_noise_sq, x, mesh,
-            axis=axis, block=block,
+            axis=axis, block=block, storage=storage_dtype(),
         )
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+        a = matmul_acc32(Kinv, y.astype(Kinv.dtype).reshape(n, 1))[:, 0]
         A = jnp.stack([
             jax.lax.dynamic_slice(Kinv, (b * nb, b * nb), (nb, nb))
             for b in range(fold_k)
-        ])
+        ]).astype(jnp.float32)
         # Replicate the fold blocks explicitly: stacked diagonal slices of the
         # row-sharded K^-1 inherit a sharding GSPMD cannot bridge to the
         # fold-batched layout its blocked-cholesky expansion wants without an

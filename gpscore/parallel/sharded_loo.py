@@ -271,7 +271,7 @@ def make_sharded_fused_loo_fit_step(
         sharded_diag,
     )
     from gpscore.scoring.rules import crps_gaussian, interval_score, logs_gaussian
-    from gpscore.utils.precision import matmul
+    from gpscore.utils.precision import matmul_acc32, storage_dtype
 
     score = {"crps": crps_gaussian, "logs": logs_gaussian,
              "interval": interval_score}[rule]
@@ -281,13 +281,17 @@ def make_sharded_fused_loo_fit_step(
 
     def _fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y):
         n = x.shape[0]
+        # storage_dtype(): bfloat16 per-device buffers under
+        # matmul_mode("bf16") — double per-device capacity; fp32-accumulating
+        # reads keep the O(n) outputs fp32 (see gpscore/ops/loo_fused.py).
         Kinv, _ = ard_gram_inverse_inplace_sharded(
             log_signal_sq, log_length, log_noise_sq, x, mesh,
-            axis=axis, block=block,
+            axis=axis, block=block, storage=storage_dtype(),
         )
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
-        return a, sharded_diag(Kinv, mesh, axis=axis), Kinv
+        a = matmul_acc32(Kinv, y.astype(Kinv.dtype).reshape(n, 1))[:, 0]
+        d = sharded_diag(Kinv, mesh, axis=axis).astype(jnp.float32)
+        return a, d, Kinv
 
     @jax.custom_vjp
     def loo_solve(log_signal_sq, log_length, log_noise_sq, x, y):
@@ -362,7 +366,7 @@ def make_sharded_fused_nlml_fit_step(
         ard_gram_inverse_inplace_sharded,
         make_streamed_ard_bwd,
     )
-    from gpscore.utils.precision import matmul
+    from gpscore.utils.precision import matmul_acc32, storage_dtype
 
     row = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -372,10 +376,10 @@ def make_sharded_fused_nlml_fit_step(
         n = x.shape[0]
         Kinv, half_logdet = ard_gram_inverse_inplace_sharded(
             log_signal_sq, log_length, log_noise_sq, x, mesh,
-            axis=axis, block=block,
+            axis=axis, block=block, storage=storage_dtype(),
         )
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
-        a = matmul(Kinv, y.reshape(n, 1))[:, 0]
+        a = matmul_acc32(Kinv, y.astype(Kinv.dtype).reshape(n, 1))[:, 0]
         value = (
             0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
             + half_logdet

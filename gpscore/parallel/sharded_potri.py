@@ -48,7 +48,12 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpscore.ops.kernels import ard_gram
-from gpscore.utils.precision import matmul, matmul_crit, mm_precision
+from gpscore.utils.precision import (
+    matmul,
+    matmul_acc32,
+    matmul_crit,
+    mm_precision,
+)
 
 
 def _check_divisible(n: int, p: int, block: int) -> int:
@@ -62,7 +67,7 @@ def _check_divisible(n: int, p: int, block: int) -> int:
 
 def ard_gram_inverse_inplace_sharded(
     log_signal_sq, log_length, log_noise_sq, x, mesh: Mesh,
-    axis: str = "data", block: int = 256,
+    axis: str = "data", block: int = 256, storage=None,
 ):
     """(K_hat^-1 row-sharded [n, n], half_logdet) for K_hat = K_ard(x) + noise I.
 
@@ -73,6 +78,12 @@ def ard_gram_inverse_inplace_sharded(
     the half log-det is the NLML term, free from stage 1. Not differentiable —
     this is the forward of the fused-sharded custom-VJP steps, paired with
     :func:`make_streamed_ard_bwd`.
+
+    ``storage`` (default fp32) sets the per-device buffer dtype; bfloat16
+    halves the per-device n^2/p residency (DOUBLING beyond-chip capacity at
+    fixed mesh size) with the single-chip discipline: Gram panels computed
+    fp32 and rounded once on store, fp32 leaf factorizations, fp32
+    cross-block accumulators, bf16 ICI traffic for the O(n b) panel psums.
     """
     n = x.shape[0]
     p = mesh.shape[axis]
@@ -80,21 +91,40 @@ def ard_gram_inverse_inplace_sharded(
     b = block
     k = n // b
     d = x.shape[1]
+    f32 = jnp.float32
 
     def local_fn(ls, ll, ln, x_full):
         idx = lax.axis_index(axis)
         row0 = idx * rows_per
         row_ids = row0 + jnp.arange(rows_per)
         col_ids = jnp.arange(n)
-        dtype = x_full.dtype
-        eye_b = jnp.eye(b, dtype=dtype)
+        dtype = x_full.dtype if storage is None else storage
+        eye_b = jnp.eye(b, dtype=f32)
         noise = jnp.exp(ln)
 
         # Local Gram rows + noise diagonal: the buffer W is born as K_hat's
         # row shard and is overwritten in place by every later stage.
         x_loc = lax.dynamic_slice(x_full, (row0, 0), (rows_per, d))
-        W = ard_gram(x_loc, x_full, ls, ll)
-        W = W + noise * (col_ids[None, :] == row_ids[:, None]).astype(dtype)
+        if dtype == x_full.dtype:
+            W = ard_gram(x_loc, x_full, ls, ll)
+            W = W + noise * (col_ids[None, :] == row_ids[:, None]).astype(dtype)
+        else:
+            # reduced storage: fp32 row panels, ONE rounding on store (a
+            # whole-shard fp32 Gram would cost the 1.5x peak bf16 exists to
+            # avoid).
+            def gram_panel(pi, W):
+                s = pi * b
+                xb = lax.dynamic_slice(x_loc, (s, 0), (b, d))
+                P = ard_gram(xb, x_full, ls, ll)
+                rid = lax.dynamic_slice(row_ids, (s,), (b,))
+                P = jnp.where(col_ids[None, :] == rid[:, None], P + noise, P)
+                return lax.dynamic_update_slice(W, P.astype(dtype), (s, 0))
+
+            W = lax.fori_loop(
+                0, rows_per // b, gram_panel,
+                lax.pcast(jnp.zeros((rows_per, n), dtype), (axis,),
+                          to="varying"),
+            )
 
         # Layout discipline (measured on v5e, n=8192: 4 n^2 -> ~2 n^2 step
         # temps, see BENCH_NOTES.md): no stage may transpose W itself. A
@@ -122,13 +152,13 @@ def ard_gram_inverse_inplace_sharded(
             # bit-symmetric); the transpose breaks the cholesky leaf's {0,1}
             # operand-layout preference from propagating through the slice
             # into W's loop carry (layout note above / commit 3b94eda).
-            L_kk = jnp.linalg.cholesky(D.T)
+            L_kk = jnp.linalg.cholesky(D.T.astype(f32))  # fp32 leaf
             hld = hld + jnp.sum(jnp.log(jnp.diagonal(L_kk)))
             Linv_kk = solve_triangular(L_kk, eye_b, lower=True)
             C = lax.dynamic_slice(W, (0, kb), (rows_per, b))
             # C L_kk^-T via the explicit [b, b] inverse: equals the
             # triangular solve against C.T without transposing a W slice.
-            Lcol = matmul(C, Linv_kk.T)
+            Lcol = matmul(C, Linv_kk.astype(dtype).T)
             Lcol = jnp.where((row_ids >= kb)[:, None], Lcol, 0.0)
             strip = lax.psum(
                 lax.dynamic_update_slice(
@@ -151,7 +181,7 @@ def ard_gram_inverse_inplace_sharded(
             W = lax.dynamic_update_slice(W, Lcol, (0, kb))
             return W, hld
 
-        W, hld = lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), dtype)))
+        W, hld = lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), f32)))
         # Stage 1's panel solves leave roundoff-scale garbage above the
         # diagonal of each pivot block. No whole-W masking pass is needed:
         # stage 2 rewrites every column strip from masked inputs only — its
@@ -181,25 +211,29 @@ def ard_gram_inverse_inplace_sharded(
             # tril: the pivot block carries stage 1's roundoff-scale upper
             # garbage (no whole-W masking pass exists; see stage-1 tail note)
             Ljj = jnp.tril(lax.dynamic_slice(strip, (s, 0), (b, b)))
-            Xjj = solve_triangular(Ljj, eye_b, lower=True)
+            Xjj = solve_triangular(Ljj.astype(f32), eye_b, lower=True)
 
             def acc_body(jp, acc):
                 Xp = lax.dynamic_slice(W, (0, jp * b), (rows_per, b))
                 Lb = lax.dynamic_slice(strip, (jp * b, 0), (b, b))
-                return acc + matmul(Xp, Lb)
+                # fp32 cross-block accumulation regardless of storage
+                return acc + lax.dot_general(
+                    Xp, Lb, (((1,), (0,)), ((), ())),
+                    precision=mm_precision(), preferred_element_type=f32,
+                )
 
             acc = lax.fori_loop(
                 pi + 1, k, acc_body,
-                lax.pcast(jnp.zeros((rows_per, b), dtype), (axis,),
+                lax.pcast(jnp.zeros((rows_per, b), f32), (axis,),
                           to="varying"),
             )
             # rows < t contribute zero naturally (X is lower triangular), so
             # -acc Xjj is already masked; the owner adds the X_ss diagonal.
             ins = lax.dynamic_update_slice(
-                jnp.zeros((rows_per, b), dtype), Xjj, (local_off, 0)
+                jnp.zeros((rows_per, b), f32), Xjj, (local_off, 0)
             )
             new_col = -matmul(acc, Xjj) + jnp.where(idx == owner, ins, 0.0)
-            return lax.dynamic_update_slice(W, new_col, (0, s))
+            return lax.dynamic_update_slice(W, new_col.astype(dtype), (0, s))
 
         W = lax.fori_loop(0, k, trtri_step, W)
 
@@ -227,24 +261,24 @@ def ard_gram_inverse_inplace_sharded(
                 Wc = lax.dynamic_slice(W, (0, s2), (rows_per, b))
                 blk = lax.dot_general(
                     Mcol, Wc, (((0,), (0,)), ((), ())),
-                    precision=mm_precision(),
+                    precision=mm_precision(), preferred_element_type=f32,
                 )
                 return lax.dynamic_update_slice(BpartT, blk, (0, s2))
 
             BpartT = lax.fori_loop(
                 pi, k, b_body,
-                lax.pcast(jnp.zeros((b, n), dtype), (axis,), to="varying"),
+                lax.pcast(jnp.zeros((b, n), f32), (axis,), to="varying"),
             )
             B_fullT = lax.psum(BpartT, axis)  # [b, n]
             B_loc = lax.dynamic_slice(B_fullT, (0, row0), (b, rows_per)).T
             cur = lax.dynamic_slice(W, (0, s), (rows_per, b))
             W = lax.dynamic_update_slice(
-                W, jnp.where(mask_ge_s, B_loc, cur), (0, s)
+                W, jnp.where(mask_ge_s, B_loc.astype(dtype), cur), (0, s)
             )
             band = lax.dynamic_slice(W, (local_off, 0), (b, n))
             upd = jnp.where(
                 jnp.logical_and(idx == owner, col_ids >= s + b)[None, :],
-                B_fullT,
+                B_fullT.astype(dtype),
                 band,
             )
             return lax.dynamic_update_slice(W, upd, (local_off, 0))
@@ -341,7 +375,10 @@ def make_streamed_ard_bwd(
                 w = half * a_full  # replicated
             else:
                 a_bar = cot_flat[0]
-                w_loc = matmul(Kinv_loc, a_bar.reshape(n, 1))[:, 0]
+                # fp32-accumulating read of the (possibly bf16) residual
+                w_loc = matmul_acc32(
+                    Kinv_loc, a_bar.astype(Kinv_loc.dtype).reshape(n, 1)
+                )[:, 0]
                 w = lax.psum(
                     lax.dynamic_update_slice(
                         jnp.zeros((n,), dtype), w_loc, (row0,)
@@ -359,9 +396,10 @@ def make_streamed_ard_bwd(
                 row block [s, s+b). ``colsl`` = Kinv[R_q, s:s+b], which by
                 symmetry is Kinv_B[:, R_q]^T."""
                 if mode == "nlml":
-                    return half * colsl.T
+                    return half * colsl.T.astype(jnp.float32)
                 if mode == "loo":
-                    T_q = matmul(colsl.T * d_bar_loc[None, :], Kinv_loc)
+                    M = (colsl.T * d_bar_loc[None, :]).astype(Kinv_loc.dtype)
+                    T_q = matmul_acc32(M, Kinv_loc)
                 else:
                     # M_B[:, R_q] = Kinv_B[:, fold cols] @ A_bar[f][:, local]
                     if fold_case == "device_within_fold":
@@ -369,7 +407,8 @@ def make_streamed_ard_bwd(
                         fold0 = f_q * nf
                         KB_fold = lax.psum(
                             lax.dynamic_update_slice(
-                                jnp.zeros((n, b), dtype), colsl, (row0, 0)
+                                jnp.zeros((n, b), colsl.dtype), colsl,
+                                (row0, 0)
                             ),
                             axis,
                         )  # full Kinv[:, s:s+b]; fold rows sliced below
@@ -379,7 +418,7 @@ def make_streamed_ard_bwd(
                         A_sl = lax.dynamic_slice(
                             A_bar, (f_q, 0, row0 - fold0), (1, nf, rows_per)
                         )[0]
-                        M_cols = matmul(K_fold.T, A_sl)  # [b, n/p]
+                        M_cols = matmul(K_fold.T.astype(jnp.float32), A_sl)
                     else:  # folds_within_device
                         m = rows_per // nf
                         f0 = row0 // nf
@@ -388,11 +427,11 @@ def make_streamed_ard_bwd(
                         )
                         M_cols = jnp.einsum(
                             "bmi,mij->bmj",
-                            colsl.T.reshape(b, m, nf),
+                            colsl.T.reshape(b, m, nf).astype(jnp.float32),
                             A_sl,
                             precision=jax.lax.Precision.HIGHEST,
                         ).reshape(b, rows_per)
-                    T_q = matmul(M_cols, Kinv_loc)
+                    T_q = matmul_acc32(M_cols.astype(Kinv_loc.dtype), Kinv_loc)
                 return -lax.psum_scatter(
                     T_q, axis, scatter_dimension=1, tiled=True
                 )

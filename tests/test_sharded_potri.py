@@ -58,6 +58,59 @@ class TestShardedPotriForward:
         dg = sharded_diag(Kinv, mesh)
         np.testing.assert_allclose(np.asarray(dg), np.diag(got), rtol=0)
 
+    def test_bf16_storage(self, rng):
+        """storage=bfloat16: bf16 per-device buffer, fp32 leaves — inverse
+        within bf16 grade, half log-det still fp32-grade (accumulated off
+        the fp32 pivot factorizations)."""
+        mesh = make_mesh(batch=1, data=8)
+        n, d = 128, 3
+        x, _, s, ell, nu = _setup(rng, n, d)
+        Kinv, hld = jax.jit(
+            lambda *a: ard_gram_inverse_inplace_sharded(
+                *a, mesh, block=16, storage=jnp.bfloat16
+            )
+        )(s, ell, nu, x)
+        assert Kinv.dtype == jnp.bfloat16
+        K = np.asarray(
+            ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n), np.float64
+        )
+        want = np.linalg.inv(K)
+        scale = np.abs(want).max()
+        got = np.asarray(Kinv.astype(jnp.float32))
+        assert np.max(np.abs(got - want)) / scale < 0.05
+        want_hld = np.sum(np.log(np.diag(np.linalg.cholesky(K))))
+        # the log-det is a SUM of n per-row log terms each bf16-grade (the
+        # pivots factor bf16-rounded, bf16-accumulated Schur complements):
+        # error budget ~ n * eps_bf16 (measured 0.28 at n=128)
+        np.testing.assert_allclose(
+            float(hld), want_hld, atol=8e-3 * n, rtol=0
+        )
+
+    def test_bf16_through_fused_sharded_loo_step(self, rng):
+        """matmul_mode("bf16") routes the fused-sharded LOO step onto the
+        bf16-stored forward + fp32-accumulating streamed backward; loss and
+        updated params track the fp32 step at bf16 grade."""
+        from gpscore.parallel.sharded_loo import make_sharded_fused_loo_fit_step
+        from gpscore.utils.params import GPParams
+        from gpscore.utils.precision import matmul_mode
+
+        mesh = make_mesh(batch=1, data=8)
+        n, d = 128, 3
+        x, y, s, ell, nu = _setup(rng, n, d)
+        p = GPParams(s, ell, nu)
+        loss0, new0 = make_sharded_fused_loo_fit_step(
+            mesh, lr=0.1, block=16
+        )(p, x, y)
+        with matmul_mode("bf16"):
+            loss1, new1 = make_sharded_fused_loo_fit_step(
+                mesh, lr=0.1, block=16
+            )(p, x, y)
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=2e-2)
+        for a_, b_ in zip(jax.tree.leaves(new1), jax.tree.leaves(new0)):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=0.1, atol=0.05
+            )
+
     def test_mixed_mesh_and_uneven_panels(self, rng):
         """data=4 axis of a (2, 4) mesh; n/p spans several panels."""
         mesh = make_mesh(batch=2, data=4)
