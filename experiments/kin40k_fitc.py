@@ -35,7 +35,7 @@ def main(argv=None):
     ap.add_argument("--n-test", type=int, default=500)
     ap.add_argument("--data", default=None)
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast", "bf16"],
+                    choices=["highest", "high", "fast", "bf16", "f16"],
                     help="contraction precision for the fits "
                          "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)

@@ -52,7 +52,7 @@ def main(argv=None):
                          "(not per-mean) objectives whose gradients scale "
                          "with n, so at --n-train N use ~500/N for them")
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast", "bf16"],
+                    choices=["highest", "high", "fast", "bf16", "f16"],
                     help="contraction precision for the fits "
                          "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)

@@ -89,13 +89,15 @@ def main(argv=None):
                     help="host-chunk size (tunnel kills multi-minute programs)")
     ap.add_argument("--lr-scale", type=float, default=1.0)
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast", "bf16"],
+                    choices=["highest", "high", "fast", "bf16", "f16"],
                     help="contraction precision for the FIT (gpscore.utils."
                          "precision.set_matmul_mode): 'high' ~1.8x, 'fast' "
-                         "~3x the GEMM phases on v5e; 'bf16' additionally "
-                         "stores the n x n buffers in bfloat16 (~4.4x and "
-                         "HALF the HBM -> n ~ 82k on one chip); evaluation "
-                         "always runs 'highest'")
+                         "~3x the GEMM phases on v5e; 'bf16'/'f16' also "
+                         "store the n x n buffers in 2-byte floats (HALF "
+                         "the HBM -> n ~ 86k on one chip; bf16 ~4.4x but "
+                         "conditioning-limited, f16 ~1.9x and robust); "
+                         "evaluation runs 'highest' up to the fp32 ceiling, "
+                         "f16-stored beyond it")
     ap.add_argument("--polish-iters", type=int, default=0,
                     help="after a reduced-precision fit, run this many final "
                          "GD iterations at 'highest' (fast-fit -> "
@@ -147,11 +149,23 @@ def main(argv=None):
         # first segment pays (remote) compilation; steady-state = best segment
         steady = min(t / it for t, it in seg_times)
 
-        pred = exact_predictive_diag_large(x, y, xt, params)
+        # evaluation is exact fp32 whenever the n^2 factor fits on the chip;
+        # beyond the fp32 ceiling (~57k on 16 GB) a 2-byte-storage fit is
+        # evaluated through a float16-stored inverse (half-precision-grade
+        # metrics, ~3 significant digits - the only single-chip option at
+        # that n; f16 over bf16 for its 8x finer mantissa, see
+        # gpscore/utils/precision.py on the bf16 conditioning limit).
+        eval_storage = (
+            jnp.float16
+            if args.matmul in ("bf16", "f16") and args.n > 57344 else None
+        )
+        pred = exact_predictive_diag_large(x, y, xt, params,
+                                           storage=eval_storage)
         m = evaluate_predictive(pred.mean, pred.cov, yt, y)
         rec = {
             "n": args.n, "iters": sched.iters, "lr": sched.lr,
             "matmul": args.matmul,
+            "eval_storage": "f16" if eval_storage is not None else "f32",
             "fit_wall_s": round(wall, 2),
             "s_per_iter_steady": round(steady, 3),
             "loss_first": losses[0], "loss_last": losses[-1],

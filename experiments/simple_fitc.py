@@ -31,7 +31,7 @@ def main(argv=None):
                     choices=rules_for("simple_fitc"))
     ap.add_argument("--num-inducing", type=int, default=5)
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast", "bf16"],
+                    choices=["highest", "high", "fast", "bf16", "f16"],
                     help="contraction precision for the fits "
                          "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)

@@ -27,7 +27,7 @@ def main(argv=None):
     ap.add_argument("--rules", nargs="+", default=["crps", "nlml", "logs"],
                     choices=rules_for("simple_full"))
     ap.add_argument("--matmul", default="highest",
-                    choices=["highest", "high", "fast", "bf16"],
+                    choices=["highest", "high", "fast", "bf16", "f16"],
                     help="contraction precision for the fits "
                          "(gpscore.utils.precision.set_matmul_mode)")
     ap.add_argument("--out", default=None)

@@ -63,47 +63,52 @@ def exact_predictive(k_star_f, k_ff, k_ss, y, noise_sq, *, L=None) -> Gaussian:
 
 
 def exact_predictive_diag_large(
-    x, y, x_test, params, *, block: int = 2048, chunk: int = 2048
+    x, y, x_test, params, *, block: int = 2048, chunk: int = 2048,
+    storage=None,
 ) -> Gaussian:
     """Diagonal noise-inclusive exact predictive at large n (ARD kernel).
 
     Same mu* / diag Cov* as :func:`exact_predictive` (reference
     ``cal_mean_and_cov``, `SIMPLE-DATA FULL-comapre.py:106-111`; prediction
     tail `kin40k-FULL-compare.py:267-292`, which only ever consumes the
-    diagonal), but built for the post-fit evaluation of n ~ 60k models:
+    diagonal), but built for the post-fit evaluation of n ~ 60-85k models:
 
-    - K_ff never materializes — the in-place Gram-fused Cholesky
-      (:func:`gpscore.ops.potri_inplace.ard_gram_chol_inplace`) produces L in
-      one n x n buffer, which the in-place triangular inversion then
-      overwrites with L^-1;
+    - K_ff never materializes — the in-place potri pipeline
+      (:func:`gpscore.ops.potri_inplace.ard_gram_inverse_inplace`) produces
+      the full K_hat^-1 inside one n x n buffer (the bounded-trace fori
+      stages at large panel counts);
     - test points stream in ``chunk``-sized blocks through GEMMs against the
-      explicit L^-1 (an in-scan ``solve_triangular`` with a [n, chunk] RHS
-      goes through XLA's expander, whose panel-chain temps measured 32 GB at
-      n = 30,720 — double the chip), so the t x t covariance never exists.
+      explicit inverse (an in-scan ``solve_triangular`` with an [n, chunk]
+      RHS goes through XLA's expander, whose panel-chain temps measured
+      32 GB at n = 30,720 — double the chip), so the t x t covariance never
+      exists: var = noise + signal - k*^T K_hat^-1 k* per column.
+    - ``storage`` (e.g. bfloat16) halves the n^2 buffer for evaluating
+      beyond-fp32-ceiling fits (n > ~57k on 16 GB); metrics are then
+      bf16-grade (~3 significant digits) instead of fp32-exact.
 
     Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training
     goes through the fused LOO/k-fold/NLML cores).
     """
     from gpscore.ops.kernels import ard_gram
     from gpscore.ops.potri_inplace import (
-        _tri_inv_inplace,
-        ard_gram_chol_inplace,
+        ard_gram_inverse_inplace,
         pad_rows,
         zero_pad,
     )
+    from gpscore.utils.precision import matmul_acc32
 
     n = x.shape[0]
     t = x_test.shape[0]
     n_pad = -(-n // block) * block
     x_pad = pad_rows(x, n_pad)
     y_pad = zero_pad(y.reshape(n), n_pad)
-    L, _ = ard_gram_chol_inplace(
+    Kinv = ard_gram_inverse_inplace(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
-        x_pad, n, block,
+        x_pad, n, block, storage=storage,
     )
-    W = _tri_inv_inplace(L, block)  # L^-1, same buffer
-    z = matmul(W, y_pad.reshape(n_pad, 1))
-    alpha = matmul(W.T, z)[:, 0]  # K_hat^-1 y
+    alpha = matmul_acc32(
+        Kinv, y_pad.astype(Kinv.dtype).reshape(n_pad, 1)
+    )[:, 0]  # K_hat^-1 y, fp32
     signal_sq = jnp.exp(params.log_signal_sq)
     noise_sq = params.noise_sq
     realmask = None
@@ -118,8 +123,8 @@ def exact_predictive_diag_large(
         if realmask is not None:
             ks = ks * realmask  # padded train rows contribute nothing
         mean_c = jnp.einsum("nc,n->c", ks, alpha, precision=MM_PRECISION)
-        V = matmul(W, ks)  # L^-1 K_f*
-        var_c = noise_sq + signal_sq - jnp.sum(V * V, axis=0)
+        V = matmul_acc32(Kinv, ks.astype(Kinv.dtype))  # K_hat^-1 K_f*, fp32
+        var_c = noise_sq + signal_sq - jnp.sum(ks * V, axis=0)
         return None, (mean_c, var_c)
 
     _, (mean, var) = jax.lax.scan(body, None, xt)

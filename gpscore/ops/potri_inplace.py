@@ -59,7 +59,12 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from gpscore.ops.kernels import ard_gram
-from gpscore.utils.precision import matmul, matmul_crit, mm_precision
+from gpscore.utils.precision import (
+    matmul,
+    matmul_crit,
+    mm_precision,
+    mm_precision_crit,
+)
 
 
 def pad_rows(x, n_pad: int):
@@ -286,15 +291,33 @@ def _gram_khat_full(log_signal_sq, log_length, log_noise_sq, x, n_real,
 
 
 def chol_inplace_fori(W, b, n_real=None):
-    """(W <- L, half_logdet) right-looking blocked Cholesky of the SPD W,
-    bounded trace: outer fori over pivots, trailing Schur update as a nested
-    fori over the [b, b] blocks of the lower-triangular trailing region.
+    """(W <- L, half_logdet) LEFT-looking blocked Cholesky of the SPD W,
+    bounded trace: outer fori over pivots; each column panel subtracts its
+    full left update into an fp32 [n, b] accumulator (nested fori over the
+    [b, b] blocks of the active region) and is written back ONCE.
+
+    Left-looking, not right-looking, for two reasons:
+
+    - reduced-precision storage: a right-looking chain re-rounds every
+      trailing block once per update, and the ACCUMULATED staircase rounding
+      goes indefinite where the one-shot-rounded K_hat is still SPD
+      (measured: bf16 at n = 30,720 with unit log-params NaNs right-looking;
+      the bf16-rounded K_hat itself factors fine, min pivot diag 1.64).
+      Left-looking rounds each block exactly once, off-diagonal and pivot
+      alike, so the factored matrix stays within one-shot-rounding distance
+      of K_hat;
+    - write traffic: the trailing matrix is rewritten k/3 times
+      right-looking (~n^2 k/6 extra HBM writes) vs once here.
 
     The pivot block is overwritten with the cholesky() output itself, so L
-    carries an exactly-zero strict upper triangle (the unrolled stage 1 and
-    the sharded twin leave roundoff garbage there for stage 2 to mask).
-    ``n_real`` masks pad rows out of the half log-det only — the factorization
-    itself relies on the caller's exact block-diagonal padding.
+    carries an exactly-zero strict upper triangle. ``n_real`` masks pad rows
+    out of the half log-det only — the factorization itself relies on the
+    caller's exact block-diagonal padding.
+
+    Layout rules (BENCH_NOTES.md "layout war"): all W reads here are
+    dim-1-contracted dots or slices feeding fp32 converts; the leaf
+    factorization reads the bitcast D.T of a slice of the FRESH fp32 panel,
+    so no column-major preference ever reaches W's while-loop carry.
     """
     n = W.shape[0]
     k = n // b
@@ -303,48 +326,46 @@ def chol_inplace_fori(W, b, n_real=None):
     eye_b = jnp.eye(b, dtype=f32)
     row_ids = jnp.arange(n)
     nr = n if n_real is None else n_real
+    crit = mm_precision_crit()
 
     def chol_step(kk, carry):
         W, hld = carry
         s = kk * b
-        D = lax.dynamic_slice(W, (s, s), (b, b))
-        # cholesky(D.T), NOT cholesky(D): the cholesky custom-call demands a
-        # column-major ({0,1}) operand, and XLA's layout assignment satisfies
-        # it by relayout-copying ALL OF W inside the loop body rather than
-        # relayouting the [b, b] slice (measured +1.0 n^2 and an n^2 copy per
-        # iteration at n = 16k; barriers/reshape anchors do not stop the
-        # propagation). D is bit-symmetric (Gram GEMM + symmetric Schur
-        # products), so D.T is exact and its transpose is a free bitcast into
-        # the layout the leaf wants — the same discipline as
-        # gpscore/parallel/sharded_potri.py's chol_step. Leaf factorizations
-        # run fp32 regardless of the storage dtype.
-        Lkk = jnp.linalg.cholesky(D.T.astype(f32))
+        P = lax.dynamic_slice(W, (0, s), (n, b)).astype(f32)
+
+        def j_body(j, P):
+            top = lax.dynamic_slice(W, (s, j * b), (b, b))
+
+            def i_body(ip, P):
+                Xb = lax.dynamic_slice(W, (ip * b, j * b), (b, b))
+                blk = lax.dynamic_slice(P, (ip * b, 0), (b, b))
+                # P[ip] -= L[ip, j] L[kk, j]^T, contracted on dim 1 of both
+                # W reads; fp32 accumulation whatever the storage dtype.
+                # mm_precision_crit: one-pass bf16 drift on fp32 operands
+                # turns pivots indefinite (measured, round 2).
+                blk = blk - lax.dot_general(
+                    Xb, top, (((1,), (1,)), ((), ())),
+                    precision=crit, preferred_element_type=f32,
+                )
+                return lax.dynamic_update_slice(P, blk, (ip * b, 0))
+
+            return lax.fori_loop(kk, k, i_body, P)
+
+        P = lax.fori_loop(0, kk, j_body, P)
+        D = lax.dynamic_slice(P, (s, 0), (b, b))
+        # D.T: the cholesky custom-call demands a column-major operand; the
+        # bitcast transpose of the bit-symmetric pivot hands it one for free
+        # (and P is a fresh fp32 value, so even a relayout would cost n*b,
+        # not the full-W copy the right-looking form risked).
+        Lkk = jnp.linalg.cholesky(D.T)
         ld = jnp.log(jnp.diagonal(Lkk))
         ld = jnp.where(s + jnp.arange(b) < nr, ld, jnp.zeros((), f32))
         hld = hld + jnp.sum(ld)
         Linv = solve_triangular(Lkk, eye_b, lower=True)
-        C = lax.dynamic_slice(W, (0, s), (n, b))
-        # matmul_crit: one-pass bf16 drift in panel/Schur contractions turns
-        # trailing pivots indefinite (measured note at the unrolled stage 1).
-        # (Under bf16 storage the operands are bf16 and the single native
-        # pass is exact on them; robustness comes from the fp32 leaves.)
-        Lcol = matmul_crit(C, Linv.astype(dtype).T)
-        Lcol = jnp.where((row_ids >= s)[:, None], Lcol, jnp.zeros((), dtype))
-        Lcol = lax.dynamic_update_slice(Lcol, Lkk.astype(dtype), (s, 0))
-        W = lax.dynamic_update_slice(W, Lcol, (0, s))
-
-        def col_body(jp, W):
-            Sj = lax.dynamic_slice(Lcol, (jp * b, 0), (b, b))
-
-            def row_body(ip, W):
-                Bi = lax.dynamic_slice(Lcol, (ip * b, 0), (b, b))
-                blk = lax.dynamic_slice(W, (ip * b, jp * b), (b, b))
-                blk = blk - matmul_crit(Bi, Sj.T)
-                return lax.dynamic_update_slice(W, blk, (ip * b, jp * b))
-
-            return lax.fori_loop(jp, k, row_body, W)
-
-        W = lax.fori_loop(kk + 1, k, col_body, W)
+        Lcol = jnp.matmul(P, Linv.T, precision=crit)
+        Lcol = jnp.where((row_ids >= s)[:, None], Lcol, jnp.zeros((), f32))
+        Lcol = lax.dynamic_update_slice(Lcol, Lkk, (s, 0))
+        W = lax.dynamic_update_slice(W, Lcol.astype(dtype), (0, s))
         return W, hld
 
     return lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), jnp.float32)))

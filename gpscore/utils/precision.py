@@ -45,14 +45,26 @@ _MODES = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "fast": jax.lax.Precision.DEFAULT,
-    # "bf16" = bf16 STORAGE, not just bf16 passes: the large-n fused cores
-    # keep the n x n working buffer / K^-1 residual in bfloat16 (halving the
-    # HBM ceiling's n^2 term -> n ~ 80k+ on one 16 GB chip) and feed the MXU
-    # native one-pass bf16 operands with fp32 accumulation. Leaf
-    # factorizations and all O(n)/O(n b) reductions stay fp32. Requires the
-    # bounded-trace fori potri pipeline. Quantified error table:
-    # RESULTS.md "Reduced-precision MXU modes".
+    # "bf16"/"f16" = 2-byte STORAGE, not just reduced passes: the large-n
+    # fused cores keep the n x n working buffer / K^-1 residual in bfloat16
+    # or float16 (halving the HBM ceiling's n^2 term -> n ~ 80k+ on one
+    # 16 GB chip). Leaf factorizations and all O(n)/O(n b) reductions stay
+    # fp32; requires the bounded-trace fori potri pipeline.
+    #
+    # - "bf16": native one-pass bf16 MXU operands (fastest), but the
+    #   factorization is CONDITIONING-LIMITED: storing the Cholesky factor
+    #   at 8-bit mantissa feeds ~u*kappa-grade perturbations back into later
+    #   pivots, and for smooth kernels (long lengthscales) the pipeline NaNs
+    #   where fp32 is fine (measured: unit log-params, n = 30,720 — even
+    #   though the ONE-SHOT bf16-rounded K_hat is still SPD there).
+    # - "f16": float16 storage (11-bit mantissa, 8x finer) at 3-pass
+    #   multiply rate — the robust half-memory mode; stable on the measured
+    #   bf16 failure case. fp16's narrow exponent is a non-issue here
+    #   (kernel entries are O(signal^2), factors O(sqrt); underflow of far
+    #   tails to 0 is benign).
+    # Quantified error tables: RESULTS.md "Reduced-precision MXU modes".
     "bf16": jax.lax.Precision.DEFAULT,
+    "f16": jax.lax.Precision.HIGH,
 }
 _mode = "highest"
 
@@ -67,8 +79,10 @@ _CONFIG_SALT = {
     "highest": "highest",
     "high": "BF16_BF16_F32_X3",
     "fast": "bfloat16",
-    "bf16": "tensorfloat32",  # distinct salt only — per-op dtypes/precision
-    # are explicit; this just forces the retrace on mode switches.
+    # distinct salts only — per-op dtypes/precision are explicit; these
+    # just force the retrace on mode switches.
+    "bf16": "tensorfloat32",
+    "f16": "float32",
 }
 
 
@@ -120,8 +134,12 @@ def mm_precision_crit():
 
 def storage_dtype():
     """Trace-time dtype for the large-n cores' n x n buffers: bfloat16 in
-    "bf16" mode, float32 otherwise."""
-    return jnp.bfloat16 if _mode == "bf16" else jnp.float32
+    "bf16" mode, float16 in "f16" mode, float32 otherwise."""
+    if _mode == "bf16":
+        return jnp.bfloat16
+    if _mode == "f16":
+        return jnp.float16
+    return jnp.float32
 
 
 def matmul_acc32(a, b):

@@ -113,33 +113,36 @@ class TestInplacePipeline:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
-    def test_bf16_storage_pipeline(self, rng):
-        """storage=bfloat16 runs the fori stages on a bf16 buffer with fp32
-        leaves: inverse within bf16 grade of the fp32 result, padding
-        cross-terms still exactly zero, dtype contract honored."""
+    @pytest.mark.parametrize("storage,tol", [(jnp.bfloat16, 0.1),
+                                             (jnp.float16, 0.02)])
+    def test_reduced_storage_pipeline(self, rng, storage, tol):
+        """Reduced-precision storage runs the fori stages on a 2-byte buffer
+        with fp32 leaves: inverse within storage grade of the fp32 result,
+        padding cross-terms still exactly zero, dtype contract honored."""
         n, block, n_pad = 52, 16, 64
         x, y, s, ell, nu = _problem(rng, n)
         K_hat = ard_gram(x, x, s, ell) + jnp.exp(nu) * jnp.eye(n)
         want = np.asarray(linalg.spd_inverse(K_hat))
         Kinv = ard_gram_inverse_inplace(
-            s, ell, nu, pad_rows(x, n_pad), n, block, storage=jnp.bfloat16
+            s, ell, nu, pad_rows(x, n_pad), n, block, storage=storage
         )
-        assert Kinv.dtype == jnp.bfloat16
+        assert Kinv.dtype == storage
         got = np.asarray(Kinv.astype(jnp.float32))
         scale = np.max(np.abs(want))
-        # bf16 storage: eps ~ 4e-3 times the (small-n) conditioning
-        assert np.max(np.abs(got[:n, :n] - want)) / scale < 0.1
+        # eps(storage) times the (small-n) conditioning
+        assert np.max(np.abs(got[:n, :n] - want)) / scale < tol
         assert float(jnp.max(jnp.abs(Kinv[n:, :n].astype(jnp.float32)))) == 0.0
         with pytest.raises(ValueError, match="fori"):
             ard_gram_inverse_inplace(
                 s, ell, nu, pad_rows(x, n_pad), n, block,
-                storage=jnp.bfloat16, loop="unroll",
+                storage=storage, loop="unroll",
             )
 
-    def test_bf16_mode_through_fused_cores(self, rng):
-        """matmul_mode("bf16") switches the fused LOO/NLML cores to the
-        bf16-stored pipeline: fp32 output dtypes, values within bf16 grade,
-        gradients pointing the same way."""
+    @pytest.mark.parametrize("mode", ["bf16", "f16"])
+    def test_storage_modes_through_fused_cores(self, rng, mode):
+        """matmul_mode("bf16"/"f16") switches the fused LOO/NLML cores to the
+        2-byte-stored pipeline: fp32 output dtypes, values within storage
+        grade, gradients pointing the same way."""
         from gpscore.ops.loo_fused import ard_nlml
         from gpscore.utils.precision import matmul_mode
 
@@ -155,7 +158,7 @@ class TestInplacePipeline:
 
         for fun in (f, fn):
             v0, g0 = jax.value_and_grad(fun, argnums=(0, 1, 2))(s, ell, nu, y)
-            with matmul_mode("bf16"):
+            with matmul_mode(mode):
                 v1, g1 = jax.value_and_grad(fun, argnums=(0, 1, 2))(
                     s, ell, nu, y
                 )
