@@ -240,7 +240,7 @@ def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
     y = y.reshape(n)
     a, A = ard_kfold_solve_blocks(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
-        x, y, fold_k,
+        x, y, fold_k, block,
     )
     nb = n // fold_k
     La = jnp.linalg.cholesky(A)  # batched [k, nb, nb]
@@ -249,7 +249,8 @@ def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
     return PrecisionGaussian(mean, La)
 
 
-def kfold_stats_fused(x, y, params, fold_k: int, eps, want_inv_diag: bool = True):
+def kfold_stats_fused(x, y, params, fold_k: int, eps,
+                      want_inv_diag: bool = True, block: int = 2048):
     """Fold-conditional statistics for the large-n DSS/ES/kc objectives:
     the fused ARD-Gram + k-fold solve core
     (:func:`gpscore.ops.loo_fused.ard_kfold_solve_blocks`) composed with the
@@ -266,8 +267,10 @@ def kfold_stats_fused(x, y, params, fold_k: int, eps, want_inv_diag: bool = True
 
     ``eps``: [fold_k, nb, S] standard normals for the ES sampler (S = 0
     otherwise). ``want_inv_diag=False`` (static) skips the fold variances
-    (only kc reads them). Returns ``(stats: FoldStats, a_b: [k, nb],
-    y_b: [k, nb])`` with fold mean ``y_b - stats.e``.
+    (only kc reads them). ``block`` is the fused core's panel/streaming
+    width (1024 buys ~0.5 GB of O(n*block) headroom at the ceiling).
+    Returns ``(stats: FoldStats, a_b: [k, nb], y_b: [k, nb])`` with fold
+    mean ``y_b - stats.e``.
     """
     from gpscore.ops.fold_core import fold_precision_stats
     from gpscore.ops.loo_fused import ard_kfold_solve_blocks
@@ -276,7 +279,7 @@ def kfold_stats_fused(x, y, params, fold_k: int, eps, want_inv_diag: bool = True
     y = y.reshape(n)
     a, A = ard_kfold_solve_blocks(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
-        x, y, fold_k,
+        x, y, fold_k, block,
     )
     nb = n // fold_k
     a_b = a.reshape(fold_k, nb)

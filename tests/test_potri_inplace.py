@@ -291,6 +291,50 @@ class TestFusedInplaceParity:
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
 
+    def test_matmul_acc32_reads_reduced_storage(self, rng):
+        """matmul_acc32: fp32 output/accumulation off 2-byte operands, no
+        upcast of the stored buffer (dtype contract)."""
+        from gpscore.utils.precision import matmul_acc32
+
+        A = jnp.asarray(rng.standard_normal((12, 8)).astype(np.float32))
+        B = jnp.asarray(rng.standard_normal((8, 5)).astype(np.float32))
+        want = np.asarray(A) @ np.asarray(B)
+        for st in (jnp.float32, jnp.bfloat16, jnp.float16):
+            got = matmul_acc32(A.astype(st), B.astype(st))
+            assert got.dtype == jnp.float32
+            tol = 1e-6 if st == jnp.float32 else 3e-2
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=tol, atol=tol)
+
+    def test_predictive_diag_large_f16_storage(self, rng):
+        """The storage-aware predictive: f16-stored inverse reproduces the
+        dense diagonal at half-precision grade (the beyond-fp32-ceiling
+        evaluation path of experiments/large_n.py)."""
+        from gpscore.models.exact import (
+            exact_predictive,
+            exact_predictive_diag_large,
+        )
+        from gpscore.utils.params import GPParams
+
+        n, t = 64, 16
+        x, y, s, ell, nu = _problem(rng, n)
+        xt = jnp.asarray(rng.standard_normal((t, x.shape[1])).astype(np.float32))
+        p = GPParams(s, ell, nu)
+        k_ff = ard_gram(x, x, s, ell)
+        k_sf = ard_gram(xt, x, s, ell)
+        k_ss = ard_gram(xt, xt, s, ell)
+        want = exact_predictive(k_sf, k_ff, k_ss, y, jnp.exp(nu))
+        got = exact_predictive_diag_large(
+            x, y, xt, p, block=16, chunk=16, storage=jnp.float16
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(want.mean), rtol=2e-2, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cov), np.asarray(jnp.diagonal(want.cov)),
+            rtol=2e-2, atol=2e-2,
+        )
+
     @pytest.mark.parametrize("n,t,block,chunk", [(52, 23, 16, 8), (64, 16, 16, 16)])
     def test_predictive_diag_large_matches_dense(self, rng, n, t, block, chunk):
         """Chunked large-n predictive == exact_predictive's diagonal, with
