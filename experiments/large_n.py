@@ -149,15 +149,16 @@ def main(argv=None):
         # first segment pays (remote) compilation; steady-state = best segment
         steady = min(t / it for t, it in seg_times)
 
-        # evaluation is exact fp32 whenever the n^2 factor fits on the chip;
-        # beyond the fp32 ceiling (~57k on 16 GB) a 2-byte-storage fit is
-        # evaluated through a float16-stored inverse (half-precision-grade
-        # metrics, ~3 significant digits - the only single-chip option at
-        # that n; f16 over bf16 for its 8x finer mantissa, see
-        # gpscore/utils/precision.py on the bf16 conditioning limit).
+        # evaluation is exact fp32 whenever the n^2 factor fits on the chip
+        # NEXT TO the fit's leftover device state; beyond ~49k a
+        # 2-byte-storage fit is evaluated through a float16-stored inverse
+        # (half-precision-grade metrics, ~3 significant digits - the only
+        # single-chip option at that n; f16 over bf16 for its 8x finer
+        # mantissa, see gpscore/utils/precision.py on the bf16 conditioning
+        # limit; measured: the fp32 eval after a dss fit at n = 57,344 OOMs).
         eval_storage = (
             jnp.float16
-            if args.matmul in ("bf16", "f16") and args.n > 57344 else None
+            if args.matmul in ("bf16", "f16") and args.n > 49152 else None
         )
         pred = exact_predictive_diag_large(x, y, xt, params,
                                            storage=eval_storage)

@@ -289,16 +289,26 @@ def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
         # from La_bar contributes Phi(upper * strictly-upper) = Phi(strictly
         # upper) = 0), and M_bar^T La^-T = eps (La^-1 z_bar^T)^T = eps G^T
         # with G = La^-1 z_bar^T — which IS eps_bar. So
-        #   P = -Phi(eps G^T),   A_bar += 1/2 La^-T (P + P^T) La^-1
-        # needs one [k, nb, nb] temp, two nb^2 S GEMMs, and no La at all.
+        #   P = -Phi(eps G^T),   A_bar += 1/2 La^-T (P + P^T) La^-1.
         eps_p = _zero_pad_cols(eps, nb_pad)
         Y_bar = _zero_pad_cols(
             jnp.swapaxes(z_bar, -1, -2), nb_pad
         )  # [k, nb_pad, S]
         G = matmul(Li, Y_bar)  # La^-1 z_bar^T = eps_bar (padded)
-        P = -_phi(matmul(eps_p, jnp.swapaxes(G, -1, -2)))
-        LiT = jnp.swapaxes(Li, -1, -2)  # La^-T
-        A_bar = A_bar + 0.5 * matmul(LiT, matmul(P + jnp.swapaxes(P, -1, -2), Li))
+        # Per-fold SEQUENTIAL sandwich, serialized by the A_bar DUS chain:
+        # batched, the H/P/(P+P^T) temps are [k, nb, nb] stacks living next
+        # to Ainv and A_bar (~3 n^2/k extra — the remaining ES-vs-dss
+        # ceiling gap); fold-by-fold only one [nb, nb] set is live.
+        for f in range(eps.shape[0]):
+            Hf = matmul(eps_p[f], G[f].T)
+            Sf = -(_phi(Hf) + _phi(Hf).T)
+            contrib = 0.5 * matmul(Li[f].T, matmul(Sf, Li[f]))
+            blk = jax.lax.dynamic_slice(
+                A_bar, (f, 0, 0), (1, nb_pad, nb_pad)
+            )
+            A_bar = jax.lax.dynamic_update_slice(
+                A_bar, blk + contrib[None], (f, 0, 0)
+            )
         eps_bar = G[:, :nb, :]
     else:
         eps_bar = jnp.zeros_like(eps)
