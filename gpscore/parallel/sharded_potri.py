@@ -10,8 +10,9 @@ single-chip in-place discipline (:mod:`gpscore.ops.potri_inplace`,
 :func:`gpscore.ops.loo_fused._stream_param_grads`) to the mesh:
 
 - :func:`ard_gram_inverse_inplace_sharded` — ONE shard_map region carries one
-  [n/p, n] buffer per device through Gram-panel generation -> right-looking
-  blocked Cholesky -> in-place triangular inversion -> in-place lauum
+  [n/p, n] buffer per device through Gram-panel generation -> left-looking
+  blocked Cholesky (fp32 panel accumulators, one rounding per stored block
+  under 2-byte storage) -> in-place triangular inversion -> in-place lauum
   (K^-1 = L^-T L^-1). Every stage updates the local buffer with
   ``dynamic_update_slice`` (single consumer -> XLA buffer-assigns in place);
   cross-device traffic is one [n, b] panel strip per outer panel per stage
@@ -51,8 +52,8 @@ from gpscore.ops.kernels import ard_gram
 from gpscore.utils.precision import (
     matmul,
     matmul_acc32,
-    matmul_crit,
     mm_precision,
+    mm_precision_crit,
 )
 
 
@@ -135,60 +136,70 @@ def ard_gram_inverse_inplace_sharded(
         # between the stages (one extra live buffer each). Transposes are
         # confined to [b, b] pivot blocks and [n, b] strips.
 
-        # ---- stage 1: right-looking blocked Cholesky, W <- L -------------
-        # (panel recurrence of gpscore.parallel.sharded_cholesky, plus the
-        # half-log-det accumulated while the pivots are at hand). The
-        # trailing Schur update walks active column chunks (fori_loop with
-        # traced lower bound) instead of a full-width masked GEMM: n^3/p
-        # FLOPs total instead of 2 n^3/p.
+        # ---- stage 1: LEFT-looking blocked Cholesky, W <- L ---------------
+        # (the single-chip chol_inplace_fori discipline on the mesh). Each
+        # pivot's full left update accumulates in an fp32 [n/p, b] panel and
+        # the column is stored ONCE — under 2-byte storage the right-looking
+        # form re-rounds every trailing block per update and the accumulated
+        # staircase rounding goes indefinite where one-shot rounding is SPD
+        # (measured single-chip, gpscore/ops/potri_inplace.py). Also ~k/3
+        # fewer trailing-matrix rewrites. Communication is unchanged: one
+        # [b, n] row-band psum per pivot (the owner's already-stored L rows)
+        # instead of one [n, b] column strip.
+        crit = mm_precision_crit()
+
         def chol_step(kk, carry):
             W, hld = carry
             kb = kk * b
             owner = kb // rows_per
             local_off = kb - owner * rows_per
-            D_contrib = lax.dynamic_slice(W, (local_off, kb), (b, b))
+            band_contrib = lax.dynamic_slice(W, (local_off, 0), (b, n))
+            band = lax.psum(
+                jnp.where(idx == owner, band_contrib, jnp.zeros((), dtype)),
+                axis,
+            )  # [b, n]: rows kb..kb+b of L (cols < kb; the rest unused)
+
+            P = lax.dynamic_slice(W, (0, kb), (rows_per, b)).astype(f32)
+
+            def j_body(j, P):
+                Lj = lax.dynamic_slice(W, (0, j * b), (rows_per, b))
+                Tj = lax.dynamic_slice(band, (0, j * b), (b, b))
+                # P -= L[:, j] L[kk, j]^T, contracted on dim 1 of both reads,
+                # fp32 accumulation whatever the storage dtype.
+                return P - lax.dot_general(
+                    Lj, Tj, (((1,), (1,)), ((), ())),
+                    precision=crit, preferred_element_type=f32,
+                )
+
+            P = lax.fori_loop(0, kk, j_body, P)
+            D_contrib = lax.dynamic_slice(P, (local_off, 0), (b, b))
             D = lax.psum(jnp.where(idx == owner, D_contrib, 0.0), axis)
-            # D.T == D exactly (the Schur updates keep the pivot block
-            # bit-symmetric); the transpose breaks the cholesky leaf's {0,1}
-            # operand-layout preference from propagating through the slice
-            # into W's loop carry (layout note above / commit 3b94eda).
-            L_kk = jnp.linalg.cholesky(D.T.astype(f32))  # fp32 leaf
+            # D.T: bitcast into the cholesky leaf's column-major preference
+            # (D is bit-symmetric; layout note above / commit 3b94eda).
+            L_kk = jnp.linalg.cholesky(D.T)  # fp32 leaf (P is fp32)
             hld = hld + jnp.sum(jnp.log(jnp.diagonal(L_kk)))
             Linv_kk = solve_triangular(L_kk, eye_b, lower=True)
-            C = lax.dynamic_slice(W, (0, kb), (rows_per, b))
-            # C L_kk^-T via the explicit [b, b] inverse: equals the
-            # triangular solve against C.T without transposing a W slice.
-            Lcol = matmul(C, Linv_kk.astype(dtype).T)
+            # P L_kk^-T via the explicit [b, b] inverse: equals the
+            # triangular solve against P.T without transposing a W slice.
+            Lcol = matmul(P, Linv_kk.T)
             Lcol = jnp.where((row_ids >= kb)[:, None], Lcol, 0.0)
-            strip = lax.psum(
-                lax.dynamic_update_slice(
-                    jnp.zeros((n, b), dtype), Lcol, (row0, 0)
-                ),
-                axis,
+            Lcol = Lcol.astype(dtype)  # ONE rounding per stored block
+            # the owner's pivot block stores cholesky's own output — exact
+            # zero strict upper (the panel solve leaves roundoff there).
+            piv = lax.dynamic_update_slice(
+                Lcol, L_kk.astype(dtype), (local_off, 0)
             )
-
-            def upd_body(jp, W):
-                s2 = jp * b
-                Sb = lax.dynamic_slice(strip, (s2, 0), (b, b))
-                blk = lax.dynamic_slice(W, (0, s2), (rows_per, b))
-                # matmul_crit: one-pass bf16 Schur drift turns trailing
-                # pivots negative (gpscore/ops/potri_inplace.py measured
-                # note).
-                blk = blk - matmul_crit(Lcol, Sb.T)
-                return lax.dynamic_update_slice(W, blk, (0, s2))
-
-            W = lax.fori_loop(kk + 1, k, upd_body, W)
+            Lcol = jnp.where(idx == owner, piv, Lcol)
             W = lax.dynamic_update_slice(W, Lcol, (0, kb))
             return W, hld
 
         W, hld = lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), f32)))
-        # Stage 1's panel solves leave roundoff-scale garbage above the
-        # diagonal of each pivot block. No whole-W masking pass is needed:
-        # stage 2 rewrites every column strip from masked inputs only — its
-        # psum-assembled strip has exact zeros for rows < s (the Lcol mask),
-        # the pivot block is tril-masked below, and the acc GEMM reads only
-        # columns stage 2 already rewrote — so L^-1 comes out with an
-        # exactly-zero strict upper triangle, which stage 3 relies on.
+        # Pivot blocks store cholesky's output (exact zero strict upper);
+        # stage 2 still rewrites every column strip from masked inputs only —
+        # its psum-assembled strip has exact zeros for rows < s (the Lcol
+        # mask) and the acc GEMM reads only columns stage 2 already rewrote —
+        # so L^-1 comes out with an exactly-zero strict upper triangle,
+        # which stage 3 relies on.
 
         # ---- stage 2: in-place triangular inversion, W <- L^-1 -----------
         # Right-to-left: X[t:, s:t] = -X[t:, t:] L[t:, s:t] X_ss, where the
