@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from gpscore.ops import potri_inplace
-from gpscore.utils.precision import matmul, matmul_crit
+from gpscore.utils.precision import matmul, matmul_crit, mm_precision
 
 
 class FoldStats(NamedTuple):
@@ -60,6 +60,24 @@ class FoldStats(NamedTuple):
     half_logdet: jnp.ndarray  # [k]  sum log diag chol(A)
     inv_diag: jnp.ndarray  # [k, nb]  diag(A^-1)
     z: jnp.ndarray  # [k, S, nb]  centered samples with cov A^-1 (S may be 0)
+
+
+def _dot32(a_, b_):
+    """2-D matmul with fp32 accumulation AND fp32 output whatever the operand
+    dtype — reduced-storage (f16/bf16) factors are contracted without ever
+    materializing an upcast copy."""
+    return jax.lax.dot_general(
+        a_, b_, (((1,), (0,)), ((), ())),
+        precision=mm_precision(), preferred_element_type=jnp.float32,
+    )
+
+
+def _bdot32(a_, b_):
+    """Fold-batched matmul, fp32 accumulation/output (see _dot32)."""
+    return jax.lax.dot_general(
+        a_, b_, (((2,), (1,)), ((0,), (0,))),
+        precision=mm_precision(), preferred_element_type=jnp.float32,
+    )
 
 
 def _bsolve(La, B, trans: int):
@@ -147,19 +165,27 @@ def _pad_blockdiag_identity(A, nb_pad):
 
 
 def _fold_chol_inv(A):
-    """(La, Li) for batched SPD A [k, nb, nb], padded to a multiple of the
-    panel width when the in-place pipeline engages.
+    """(La, Li, half_logdet) for batched SPD A [k, nb, nb], padded to a
+    multiple of the panel width when the in-place pipeline engages.
 
     Returned factors are [k, nb_pad, nb_pad] with blockdiag(·, I) padding
     (chol(blockdiag(A, I)) = blockdiag(chol(A), I), so the real block is
-    exact and every padded diagonal entry is 1 — log-dets need no mask).
+    exact and every padded diagonal entry is 1 — log-dets contribute 0 from
+    the pads). Factors come back in A's dtype; under reduced storage
+    (f16/bf16 fold blocks from the 2-byte-stored fused core) each fold is
+    upcast, factored, and inverted in fp32 ONE AT A TIME — per-fold fp32
+    transients instead of three [k, nb, nb] fp32 stacks — and the half
+    log-det is captured from the fp32 factor before the rounding-on-store.
     """
     from gpscore.ops.block_cholesky import tri_inverse_lower
 
+    f32 = jnp.float32
+    st = A.dtype
     nb = A.shape[-1]
     if nb < _INPLACE_MIN_NB:
-        La = jnp.linalg.cholesky(A)
-        return La, _batched_tri_inv(La)
+        La32 = jnp.linalg.cholesky(A.astype(f32))
+        hld = jnp.sum(jnp.log(jnp.diagonal(La32, axis1=-2, axis2=-1)), -1)
+        return La32.astype(st), _batched_tri_inv(La32).astype(st), hld
     b = _CHOL_BLOCK
     nb_pad = -(-nb // b) * b
     Ap = _pad_blockdiag_identity(A, nb_pad)
@@ -171,15 +197,20 @@ def _fold_chol_inv(A):
     # layout story in the module docstring); the transpose absorbs the flip
     # as a bitcast at the fold-block boundary instead.
     ApT = jnp.swapaxes(Ap, -1, -2)
-    if nb_pad // b >= potri_inplace._FORI_MIN_PANELS:
-        # bounded-trace stage (compile wall; potri_inplace fori notes)
-        La = jnp.stack([
-            potri_inplace.chol_inplace_fori(ApT[f], b)[0]
-            for f in range(A.shape[0])
-        ])
-    else:
-        La = jnp.stack([_chol_inplace_2d(ApT[f], b) for f in range(A.shape[0])])
-    return La, tri_inverse_lower(La)
+    fori = nb_pad // b >= potri_inplace._FORI_MIN_PANELS
+    Las, Lis, hlds = [], [], []
+    for f in range(A.shape[0]):
+        Af = ApT[f].astype(f32)
+        if fori:
+            # bounded-trace stage (compile wall; potri_inplace fori notes)
+            La_f, hld_f = potri_inplace.chol_inplace_fori(Af, b)
+        else:
+            La_f = _chol_inplace_2d(Af, b)
+            hld_f = jnp.sum(jnp.log(jnp.diagonal(La_f)))
+        Las.append(La_f.astype(st))
+        Lis.append(tri_inverse_lower(La_f).astype(st))
+        hlds.append(hld_f)
+    return jnp.stack(Las), jnp.stack(Lis), jnp.stack(hlds)
 
 
 def _zero_pad_cols(v, nb_pad):
@@ -193,32 +224,35 @@ def _zero_pad_cols(v, nb_pad):
 
 
 def _stats_forward(A, a, eps, want_inv_diag):
-    """(FoldStats, (La, Li)) — everything downstream of the factorization is a
-    GEMM against the explicit panel inverse Li (no solve expanders)."""
+    """(FoldStats, Li) — everything downstream of the factorization is a GEMM
+    against the explicit panel inverse Li (no solve expanders), with fp32
+    accumulation/outputs whatever the storage dtype of the fold blocks."""
+    f32 = jnp.float32
+    st = A.dtype
     nb = a.shape[-1]
-    La, Li = _fold_chol_inv(A)
+    La, Li, half_logdet = _fold_chol_inv(A)
+    del La  # hld captured fp32 inside the factorization; nothing else reads it
     nb_pad = Li.shape[-1]
-    a_p = _zero_pad_cols(a, nb_pad)
+    a_p = _zero_pad_cols(a, nb_pad).astype(st)
     # The batched matvecs sit behind optimization_barriers: XLA otherwise
     # fuses them with a dozen surrounding ops into one kernel whose
     # scoped-vmem tiles blow the 16 MB budget at nb ~ 4k ("should not be
     # possible to run out of scoped vmem" compile error).
-    w = matmul(Li, jax.lax.optimization_barrier(a_p)[..., None])
+    w = _bdot32(Li, jax.lax.optimization_barrier(a_p)[..., None])
     w = jax.lax.optimization_barrier(w)
-    e = matmul(jnp.swapaxes(Li, -1, -2), w)[..., 0][:, :nb]
-    # padded diagonal entries are exactly 1 -> log contributes 0; no mask.
-    half_logdet = jnp.sum(
-        jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1
-    )
+    e = _bdot32(jnp.swapaxes(Li, -1, -2), w.astype(st))[..., 0][:, :nb]
     if want_inv_diag:
-        inv_diag = jnp.sum(Li * Li, axis=-2)[:, :nb]  # column sums of squares
+        inv_diag = jnp.einsum(  # column sums of squares, fp32 accumulation
+            "kij,kij->kj", Li, Li,
+            precision=mm_precision(), preferred_element_type=f32,
+        )[:, :nb]
     else:  # skip reading the inverse columns DSS/ES never consume
-        inv_diag = jnp.zeros(a.shape, A.dtype)
-    eps_p = _zero_pad_cols(eps, nb_pad)
+        inv_diag = jnp.zeros(a.shape, f32)
+    eps_p = _zero_pad_cols(eps, nb_pad).astype(st)
     z = jnp.swapaxes(
-        matmul(jnp.swapaxes(Li, -1, -2), eps_p), -1, -2
+        _bdot32(jnp.swapaxes(Li, -1, -2), eps_p), -1, -2
     )[:, :, :nb]  # (La^-T eps)^T
-    return FoldStats(e, half_logdet, inv_diag, z), (La, Li)
+    return FoldStats(e, half_logdet, inv_diag, z), Li
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -235,11 +269,10 @@ def fold_precision_stats(A, a, eps, want_inv_diag: bool = True) -> FoldStats:
 
 
 def _fps_fwd(A, a, eps, want_inv_diag):
-    stats, (La, Li) = _stats_forward(A, a, eps, want_inv_diag)
-    # Residual: the factor inverse only — every adjoint (including the
-    # sample path's collapsed Cholesky VJP) is a GEMM against Li. Neither A
-    # nor La is kept.
-    del La
+    stats, Li = _stats_forward(A, a, eps, want_inv_diag)
+    # Residual: the factor inverse only (in the fold blocks' storage dtype) —
+    # every adjoint (including the sample path's collapsed Cholesky VJP) is
+    # a GEMM against Li. Neither A nor La is kept.
     return stats, (Li, a, eps, stats.e)
 
 
@@ -253,66 +286,77 @@ def _phi(X):
 
 
 def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
-    """Shared closed-form fold adjoints (module docstring math).
+    """Shared closed-form fold adjoints (module docstring math), computed
+    FOLD BY FOLD, serialized through A_bar's dynamic-update-slice chain.
 
-    Returns (A_bar [k, nb, nb] real block, a_bar [k, nb], eps_bar) from the
-    factor inverse Li [k, nb_pad, nb_pad] and the FoldStats cotangents.
+    Batched, the adjoint held Ainv, the rank-1/diag sandwich temps, and (for
+    ES) H/P/(P+P^T) as [k, nb, nb] stacks next to A_bar — ~3-4 n^2/k live.
+    Per fold only one [nb_pad, nb_pad] fp32 working set exists at a time,
+    and with reduced-storage Li (f16/bf16 fold factors) every contraction
+    runs fp32-accumulating off the 2-byte operands (_dot32), so the adjoint
+    never materializes an upcast stack either.
+
+    Returns (A_bar [k, nb, nb] in Li's dtype, a_bar [k, nb] fp32,
+    eps_bar fp32) from the factor inverse Li [k, nb_pad, nb_pad] and the
+    FoldStats cotangents.
     """
     e_bar, hld_bar, d_bar, z_bar = cot
+    f32 = jnp.float32
+    st = Li.dtype
+    k = Li.shape[0]
     nb_pad = Li.shape[-1]
+    S = eps.shape[-1]
 
     # Padded factors are blockdiag(real, I); padding every cotangent with
     # zeros and slicing A_bar back to the real block is exact.
     e_bar_p = _zero_pad_cols(e_bar, nb_pad)
     e_p = _zero_pad_cols(e, nb_pad)
-    Ainv = matmul(jnp.swapaxes(Li, -1, -2), Li)
-
-    u = matmul(  # barriered matvec — see _stats_forward note
-        Ainv, jax.lax.optimization_barrier(e_bar_p)[..., None]
-    )[..., 0]
-    u = jax.lax.optimization_barrier(u)
-    a_bar = u[:, :nb]
-    A_bar = -_sym(u[..., None] * e_p[..., None, :])
-    A_bar = A_bar + 0.5 * hld_bar[..., None, None] * Ainv
     if want_inv_diag:
         d_bar_p = _zero_pad_cols(d_bar, nb_pad)
-        A_bar = A_bar - matmul(Ainv * d_bar_p[:, None, :], Ainv)
+    if S:
+        eps_p = _zero_pad_cols(eps, nb_pad).astype(st)
+        Y_bar = _zero_pad_cols(jnp.swapaxes(z_bar, -1, -2), nb_pad)
 
-    if eps.shape[-1]:
-        # z = La^-T eps (per fold, columns of eps are draws). The naive chain
-        #   M_bar = z_bar^T eps^T -> La_bar = tril(-La^-T M_bar^T La^-T)
-        #   -> A_bar += 1/2 La^-T (P + P^T) La^-1,  P = Phi(La^T La_bar)
-        # materializes M_bar and La_bar ([k, nb, nb] each) and RECOMPUTES La
-        # from Li — three extra n^2/k buffers plus an nb^3/3 recursion that
-        # capped the ES ceiling ~4k rows below dss/kc (RESULTS.md round 2).
-        # It collapses exactly: La^T La_bar = -M_bar^T La^-T (the tril dropped
-        # from La_bar contributes Phi(upper * strictly-upper) = Phi(strictly
-        # upper) = 0), and M_bar^T La^-T = eps (La^-1 z_bar^T)^T = eps G^T
-        # with G = La^-1 z_bar^T — which IS eps_bar. So
-        #   P = -Phi(eps G^T),   A_bar += 1/2 La^-T (P + P^T) La^-1.
-        eps_p = _zero_pad_cols(eps, nb_pad)
-        Y_bar = _zero_pad_cols(
-            jnp.swapaxes(z_bar, -1, -2), nb_pad
-        )  # [k, nb_pad, S]
-        G = matmul(Li, Y_bar)  # La^-1 z_bar^T = eps_bar (padded)
-        # Per-fold SEQUENTIAL sandwich, serialized by the A_bar DUS chain:
-        # batched, the H/P/(P+P^T) temps are [k, nb, nb] stacks living next
-        # to Ainv and A_bar (~3 n^2/k extra — the remaining ES-vs-dss
-        # ceiling gap); fold-by-fold only one [nb, nb] set is live.
-        for f in range(eps.shape[0]):
-            Hf = matmul(eps_p[f], G[f].T)
-            Sf = -(_phi(Hf) + _phi(Hf).T)
-            contrib = 0.5 * matmul(Li[f].T, matmul(Sf, Li[f]))
-            blk = jax.lax.dynamic_slice(
-                A_bar, (f, 0, 0), (1, nb_pad, nb_pad)
-            )
-            A_bar = jax.lax.dynamic_update_slice(
-                A_bar, blk + contrib[None], (f, 0, 0)
-            )
-        eps_bar = G[:, :nb, :]
+    A_bar = jnp.zeros((k, nb_pad, nb_pad), st)
+    a_bar_rows, eps_bar_rows = [], []
+    for f in range(k):
+        Lf = Li[f]
+        Ainv_f = _dot32(Lf.T, Lf)  # [nb_pad, nb_pad] fp32
+        # barriered matvec — see _stats_forward note
+        u = matmul(
+            Ainv_f, jax.lax.optimization_barrier(e_bar_p[f])[:, None]
+        )[:, 0]
+        u = jax.lax.optimization_barrier(u)
+        a_bar_rows.append(u[:nb])
+        Af_bar = -_sym(u[:, None] * e_p[f][None, :])
+        Af_bar = Af_bar + 0.5 * hld_bar[f] * Ainv_f
+        if want_inv_diag:
+            Af_bar = Af_bar - matmul(Ainv_f * d_bar_p[f][None, :], Ainv_f)
+        if S:
+            # z = La^-T eps (columns of eps are draws). The naive chain
+            #   M_bar = z_bar^T eps^T -> La_bar = tril(-La^-T M_bar^T La^-T)
+            #   -> A_bar += 1/2 La^-T (P + P^T) La^-1, P = Phi(La^T La_bar)
+            # materializes M_bar/La_bar and RECOMPUTES La. It collapses
+            # exactly: La^T La_bar = -M_bar^T La^-T (the tril dropped from
+            # La_bar contributes Phi(upper * strictly-upper) = 0), and
+            # M_bar^T La^-T = eps (La^-1 z_bar^T)^T = eps G^T with
+            # G = La^-1 z_bar^T — which IS eps_bar. So
+            #   P = -Phi(eps G^T),  A_bar += 1/2 La^-T (P + P^T) La^-1.
+            G = _dot32(Lf, Y_bar[f].astype(st))  # [nb_pad, S] fp32
+            eps_bar_rows.append(G[:nb, :])
+            H = _dot32(eps_p[f], G.astype(st).T)  # eps G^T, fp32
+            Sf = -(_phi(H) + _phi(H).T)
+            Af_bar = Af_bar + 0.5 * _dot32(Lf.T, _dot32(Sf.astype(st), Lf)
+                                           .astype(st))
+        A_bar = jax.lax.dynamic_update_slice(
+            A_bar, Af_bar.astype(st)[None], (f, 0, 0)
+        )
+
+    a_bar = jnp.stack(a_bar_rows)
+    if S:
+        eps_bar = jnp.stack(eps_bar_rows)
     else:
         eps_bar = jnp.zeros_like(eps)
-
     return A_bar[:, :nb, :nb], a_bar, eps_bar
 
 

@@ -282,10 +282,13 @@ def _diag_blocks(Kinv, fold_k: int, n: int):
     if n % fold_k:
         raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
     nf = n // fold_k
+    # Blocks come back in Kinv's STORAGE dtype (f16/bf16 under the 2-byte
+    # modes): the fold consumer (gpscore/ops/fold_core.py) upcasts per fold,
+    # so no [fold_k, nf, nf] fp32 stack ever exists at the interface.
     return jnp.stack([
         jax.lax.dynamic_slice(Kinv, (b * nf, b * nf), (nf, nf))
         for b in range(fold_k)
-    ]).astype(jnp.float32)
+    ])
 
 
 def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block,
@@ -323,9 +326,8 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
         M = jnp.concatenate(
             [
                 matmul_acc32(
-                    jax.lax.slice(Kinv_b, (0, f * nf), (size, (f + 1) * nf))
-                    .astype(jnp.float32),
-                    A_bar[f],
+                    jax.lax.slice(Kinv_b, (0, f * nf), (size, (f + 1) * nf)),
+                    A_bar[f].astype(Kinv.dtype),
                 )
                 for f in range(fold_k)
             ],

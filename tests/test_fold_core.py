@@ -166,6 +166,49 @@ class TestInplaceFoldFactorization:
             )
 
 
+class TestReducedStorageFoldBlocks:
+    """f16/bf16 fold blocks (the 2-byte-stored fused core's output dtype):
+    per-fold fp32 upcast factorization, fp32 stats outputs, A_bar returned
+    in the blocks' dtype — values/grads within storage grade of fp32."""
+
+    @pytest.mark.parametrize("st", [jnp.float16, jnp.bfloat16])
+    def test_matches_fp32_at_storage_grade(self, rng, st):
+        k, nb, S = 2, 12, 5
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        eps = jnp.asarray(rng.standard_normal((k, nb, S)).astype(np.float32))
+        want = fold_precision_stats(A, a, eps)
+        got = fold_precision_stats(A.astype(st), a, eps)
+        tol = 5e-2 if st == jnp.bfloat16 else 1e-2
+        for g, w in zip(got, want):
+            assert g.dtype == jnp.float32
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=tol, atol=tol
+            )
+
+        wts = [
+            jnp.asarray(rng.standard_normal(s).astype(np.float32))
+            for s in [(k, nb), (k,), (k, nb), (k, S, nb)]
+        ]
+
+        def f(A_, a_, eps_):
+            o = fold_precision_stats(A_, a_, eps_)
+            return sum(jnp.sum(wi * oi) for wi, oi in zip(wts, o))
+
+        g32 = jax.grad(f, argnums=(0, 1, 2))(A, a, eps)
+        gst = jax.grad(f, argnums=(0, 1, 2))(A.astype(st), a, eps)
+        assert gst[0].dtype == st
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gst[0]).astype(jnp.float32)),
+            np.asarray(sym(g32[0])), rtol=0.1, atol=0.1,
+        )
+        for i in (1, 2):
+            np.testing.assert_allclose(
+                np.asarray(gst[i]), np.asarray(g32[i]), rtol=0.1, atol=0.1
+            )
+
+
 class TestFoldStatsObjectives:
     """The large-n fold-stats objective path (make_objective dispatch)."""
 
