@@ -345,9 +345,12 @@ def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
             G = _dot32(Lf, Y_bar[f].astype(st))  # [nb_pad, S] fp32
             eps_bar_rows.append(G[:nb, :])
             H = _dot32(eps_p[f], G.astype(st).T)  # eps G^T, fp32
-            Sf = -(_phi(H) + _phi(H).T)
-            Af_bar = Af_bar + 0.5 * _dot32(Lf.T, _dot32(Sf.astype(st), Lf)
-                                           .astype(st))
+            # sandwich identity: La^-T (P + P^T) La^-1 = T + T^T with
+            # T = La^-T P La^-1 — one [nb, nb] temp instead of two (the
+            # symmetrized P + P^T never materializes; Phi aliases H).
+            W1 = _dot32(_phi(H).astype(st), Lf)
+            T = _dot32(Lf.T, W1.astype(st))
+            Af_bar = Af_bar - 0.5 * (T + T.T)
         A_bar = jax.lax.dynamic_update_slice(
             A_bar, Af_bar.astype(st)[None], (f, 0, 0)
         )
