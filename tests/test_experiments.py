@@ -127,3 +127,14 @@ def test_large_n_driver_end_to_end(tmp_path):
         rec = res[rule]
         assert np.isfinite(rec["crps"]) and np.isfinite(rec["loss_last"])
         assert rec["loss_last"] < rec["loss_first"]
+
+
+def test_bench_ceiling_driver_cpu():
+    """experiments/bench_ceiling.py end to end at toy size (the objective
+    dispatch, block threading, timing loop, and --ref-grad comparison)."""
+    from experiments.bench_ceiling import main
+
+    rec = main(["--n", "64", "--d", "2", "--block", "16", "--rule", "dss",
+                "--repeats", "1", "--matmul", "f16", "--ref-grad"])
+    assert np.isfinite(rec["loss"]) and rec["step_s"] >= 0
+    assert rec["grad_cos"] > 0.99
