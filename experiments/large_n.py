@@ -103,10 +103,26 @@ def main(argv=None):
                          "GD iterations at 'highest' (fast-fit -> "
                          "exact-polish; ignored when --matmul highest)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="save the fitted params pytree (.npz) per rule "
+                         "(suffix _<rule>.npz); with --skip-eval this "
+                         "supports the two-process fit-then-evaluate flow "
+                         "(device memory accumulates across many big "
+                         "programs in one process — measured: the fp32 "
+                         "eval OOMs in-process after a long 49k+ fit but "
+                         "runs fresh)")
+    ap.add_argument("--load-params", default=None,
+                    help="skip fitting; load params from this .npz and "
+                         "evaluate only")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="fit (and optionally save params) without the "
+                         "evaluation leg")
     args = ap.parse_args(argv)
 
     if args.n % 4 and any(r in ("dss", "es", "kc") for r in args.rules):
         ap.error("fold rules need --n divisible by 4")
+
+    from gpscore.utils.checkpoint import load_pytree, save_pytree
 
     x, y, xt, yt = make_data(args.n, args.d, args.n_test)
     results = {}
@@ -115,6 +131,23 @@ def main(argv=None):
         loss = make_objective(rule, model="exact")
         params = init_unit_params(d=args.d, isotropic=False)
         key = jax.random.PRNGKey(1)
+        if args.load_params:
+            params = load_pytree(args.load_params, params)
+            rec = {"n": args.n, "rule": rule, "loaded": args.load_params}
+            eval_storage = (
+                jnp.float16
+                if args.matmul in ("bf16", "f16") and args.n > 61440
+                else None
+            )
+            pred = jax.jit(
+                lambda xx, yy, xt_, p: exact_predictive_diag_large(
+                    xx, yy, xt_, p, storage=eval_storage)
+            )(x, y, xt, params)
+            m = evaluate_predictive(pred.mean, pred.cov, yt, y)
+            rec.update({k: float(v) for k, v in m._asdict().items()})
+            results[rule] = rec
+            print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+            continue
 
         seg = max(1, min(args.segment_iters, sched.iters))
         sizes = [seg] * (sched.iters // seg)
@@ -138,30 +171,54 @@ def main(argv=None):
         if args.polish_iters and args.matmul != "highest":
             # exact-precision polish: re-anchors the optimum after the
             # reduced-precision descent (modes are trace-time, so this is a
-            # separately compiled program).
-            res = jax.jit(
-                lambda p, k: fit_gd(loss, p, x, y, iters=args.polish_iters,
-                                    lr=sched.lr, key=k)
-            )(params, jax.random.fold_in(key, 10_000))
-            params = res.params
-            losses.extend(np.asarray(res.loss_history).tolist())
+            # separately compiled program) — host-chunked like the main fit
+            # (an unchunked multi-minute polish program gets killed by the
+            # TPU tunnel; CLAUDE.md).
+            pol = [seg] * (args.polish_iters // seg)
+            if args.polish_iters % seg:
+                pol.append(args.polish_iters % seg)
+            pol_fns = {}
+            for s2, it in enumerate(pol):
+                fn = pol_fns.setdefault(it, jax.jit(
+                    lambda p, k, _it=it: fit_gd(
+                        loss, p, x, y, iters=_it, lr=sched.lr, key=k)
+                ))
+                res = fn(params, jax.random.fold_in(key, 10_000 + s2))
+                params = res.params
+                losses.extend(np.asarray(res.loss_history).tolist())
         wall = time.time() - t0
         # first segment pays (remote) compilation; steady-state = best segment
         steady = min(t / it for t, it in seg_times)
 
-        # evaluation is exact fp32 whenever the n^2 factor fits on the chip
-        # NEXT TO the fit's leftover device state; beyond ~49k a
+        if args.save_params:
+            save_pytree(f"{args.save_params}_{rule}.npz", params)
+        if args.skip_eval:
+            rec = {"n": args.n, "iters": sched.iters, "lr": sched.lr,
+                   "matmul": args.matmul, "fit_wall_s": round(wall, 2),
+                   "s_per_iter_steady": round(steady, 3),
+                   "loss_first": losses[0], "loss_last": losses[-1]}
+            results[rule] = rec
+            print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+            continue
+
+        # evaluation is exact fp32 up to the fp32 n^2 ceiling (the jitted
+        # eval program peaks at ~1 n^2, same as a fit step); past ~62k a
         # 2-byte-storage fit is evaluated through a float16-stored inverse
-        # (half-precision-grade metrics, ~3 significant digits - the only
-        # single-chip option at that n; f16 over bf16 for its 8x finer
-        # mantissa, see gpscore/utils/precision.py on the bf16 conditioning
-        # limit; measured: the fp32 eval after a dss fit at n = 57,344 OOMs).
+        # (half-precision-grade metrics; f16 over bf16 for its 8x finer
+        # mantissa, see gpscore/utils/precision.py — and note f16's own
+        # conditioning onset binds near-unit params above ~57k).
         eval_storage = (
             jnp.float16
-            if args.matmul in ("bf16", "f16") and args.n > 49152 else None
+            if args.matmul in ("bf16", "f16") and args.n > 61440 else None
         )
-        pred = exact_predictive_diag_large(x, y, xt, params,
-                                           storage=eval_storage)
+        # ONE jitted program: executed eagerly, every intermediate of the
+        # Gram -> in-place inverse chain materializes (measured 31.6 GB at
+        # n = 61,440 vs ~1 n^2 jitted — this, not fit leftovers, was the
+        # in-process eval OOM).
+        pred = jax.jit(
+            lambda xx, yy, xt_, p: exact_predictive_diag_large(
+                xx, yy, xt_, p, storage=eval_storage)
+        )(x, y, xt, params)
         m = evaluate_predictive(pred.mean, pred.cov, yt, y)
         rec = {
             "n": args.n, "iters": sched.iters, "lr": sched.lr,

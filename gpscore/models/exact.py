@@ -83,7 +83,7 @@ def exact_predictive_diag_large(
       32 GB at n = 30,720 — double the chip), so the t x t covariance never
       exists: var = noise + signal - k*^T K_hat^-1 k* per column.
     - ``storage`` (e.g. bfloat16) halves the n^2 buffer for evaluating
-      beyond-fp32-ceiling fits (n > ~57k on 16 GB); metrics are then
+      beyond-fp32-ceiling fits (n > ~62k on 16 GB); metrics are then
       bf16-grade (~3 significant digits) instead of fp32-exact.
 
     Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training

@@ -62,6 +62,17 @@ _MODES = {
     #   bf16 failure case. fp16's narrow exponent is a non-issue here
     #   (kernel entries are O(signal^2), factors O(sqrt); underflow of far
     #   tails to 0 is benign).
+    #
+    # DEEP FITS under either 2-byte mode can stall mid-descent: the
+    # optimizer lengthens the learned lengthscales, kappa(K_hat) grows, and
+    # once it crosses the storage mode's own n*u*kappa onset the pipeline
+    # NaNs — fit_gd's NaN-masked updates then freeze the parameters at
+    # their last good value (loss history shows NaN; evaluation stays
+    # finite). Measured: CRPS-LOO at n=30,720 runs 24 iterations clean in
+    # "high" (loss 0.397 -> 0.132) but stalls partway in "f16" (params
+    # frozen at loss ~0.21-grade). The designed recipe is fit-then-polish:
+    # reduced-storage iterations while conditioning allows, then
+    # exact-precision iterations (experiments/large_n.py --polish-iters).
     # Quantified error tables: RESULTS.md "Reduced-precision MXU modes".
     "bf16": jax.lax.Precision.DEFAULT,
     "f16": jax.lax.Precision.HIGH,
