@@ -18,6 +18,7 @@ Example (the n=86,016 f16 rows):
 """
 
 import argparse
+import contextlib
 import functools
 import json
 import os
@@ -46,32 +47,43 @@ def _make_data(n, d, seed=0):
     return x, y
 
 
+@contextlib.contextmanager
 def _thread_block(rule, block):
     """Route the CLI block width into the fused cores (the objective builders
-    use the cores' defaults otherwise)."""
-    if rule in ("crps", "logs", "interval"):
-        def loo_fused_b(x, y, p):
-            a, dg = loo_fused.ard_loo_solve_diag(
-                p.log_signal_sq, p.log_length, p.log_noise_sq,
-                x, y.reshape(-1), block, True,
+    use the cores' defaults otherwise). Context manager: the module
+    attributes are restored on exit, so an in-process caller (the CPU smoke
+    test) doesn't leak a partial block width into the rest of the process."""
+    saved = {
+        "loo_exact_fused": exact_mod.loo_exact_fused,
+        "nlml_exact_fused": exact_mod.nlml_exact_fused,
+        "kfold_stats_fused": exact_mod.kfold_stats_fused,
+    }
+    try:
+        if rule in ("crps", "logs", "interval"):
+            def loo_fused_b(x, y, p):
+                a, dg = loo_fused.ard_loo_solve_diag(
+                    p.log_signal_sq, p.log_length, p.log_noise_sq,
+                    x, y.reshape(-1), block, True,
+                )
+                return exact_mod.Gaussian(y.reshape(-1) - a / dg, 1.0 / dg)
+
+            exact_mod.loo_exact_fused = loo_fused_b
+        elif rule == "nlml":
+            def nlml_b(x, y, p):
+                return loo_fused.ard_nlml(
+                    p.log_signal_sq, p.log_length, p.log_noise_sq,
+                    x, y.reshape(-1), block, True,
+                )
+
+            exact_mod.nlml_exact_fused = nlml_b
+        else:
+            exact_mod.kfold_stats_fused = functools.partial(
+                exact_mod.kfold_stats_fused, block=block
             )
-            return exact_mod.Gaussian(y.reshape(-1) - a / dg, 1.0 / dg)
-
-        exact_mod.loo_exact_fused = loo_fused_b
-    elif rule == "nlml":
-        def nlml_b(x, y, p):
-            return loo_fused.ard_nlml(
-                p.log_signal_sq, p.log_length, p.log_noise_sq,
-                x, y.reshape(-1), block, True,
-            )
-
-        exact_mod.nlml_exact_fused = nlml_b
-    else:
-        import gpscore.fit.objectives as obj
-
-        obj.exact_mod.kfold_stats_fused = functools.partial(
-            exact_mod.kfold_stats_fused, block=block
-        )
+        yield
+    finally:
+        for name, fn in saved.items():
+            setattr(exact_mod, name, fn)
 
 
 def main(argv=None):
@@ -87,7 +99,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     x, y = _make_data(args.n, args.d)
-    _thread_block(args.rule, args.block)
     loss = make_objective(args.rule)
 
     def step(p, x, y, key):
@@ -99,7 +110,9 @@ def main(argv=None):
     rec = {"rule": args.rule, "n": args.n, "block": args.block,
            "matmul": args.matmul}
 
-    with matmul_mode(args.matmul):
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(_thread_block(args.rule, args.block))
+        stack.enter_context(matmul_mode(args.matmul))
         t0 = time.perf_counter()
         compiled = jax.jit(step).lower(p0, x, y, k0).compile()
         rec["compile_s"] = round(time.perf_counter() - t0, 1)
@@ -127,17 +140,19 @@ def main(argv=None):
             ts.append(time.perf_counter() - ta)
         rec["step_s"] = round(min(ts), 3)
 
-    if args.ref_grad:
-        with matmul_mode("highest"):
-            v0, g0 = jax.jit(step)(p0, x, y, k0)
-            np.asarray(v0)
-        rec["value_rel_err"] = float(abs((float(v) - float(v0)) / float(v0)))
-        ga = np.concatenate([np.ravel(t) for t in jax.tree.leaves(g)])
-        gb = np.concatenate([np.ravel(t) for t in jax.tree.leaves(g0)])
-        rec["grad_max_rel"] = float(np.max(np.abs(ga - gb))
-                                    / np.max(np.abs(gb)))
-        rec["grad_cos"] = float(np.dot(ga, gb)
-                                / (np.linalg.norm(ga) * np.linalg.norm(gb)))
+        if args.ref_grad:
+            with matmul_mode("highest"):
+                v0, g0 = jax.jit(step)(p0, x, y, k0)
+                np.asarray(v0)
+            rec["value_rel_err"] = float(
+                abs((float(v) - float(v0)) / float(v0))
+            )
+            ga = np.concatenate([np.ravel(t) for t in jax.tree.leaves(g)])
+            gb = np.concatenate([np.ravel(t) for t in jax.tree.leaves(g0)])
+            rec["grad_max_rel"] = float(np.max(np.abs(ga - gb))
+                                        / np.max(np.abs(gb)))
+            rec["grad_cos"] = float(np.dot(ga, gb)
+                                    / (np.linalg.norm(ga) * np.linalg.norm(gb)))
 
     print(json.dumps(rec, sort_keys=True))
     return rec

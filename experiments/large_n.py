@@ -112,8 +112,12 @@ def main(argv=None):
                          "eval OOMs in-process after a long 49k+ fit but "
                          "runs fresh)")
     ap.add_argument("--load-params", default=None,
-                    help="skip fitting; load params from this .npz and "
-                         "evaluate only")
+                    help="skip fitting; load params saved by --save-params "
+                         "(same prefix convention: <prefix>_<rule>.npz per "
+                         "rule) and evaluate only. A bare existing .npz path "
+                         "is accepted for a SINGLE rule only — with several "
+                         "rules it would silently score them all with one "
+                         "rule's params")
     ap.add_argument("--skip-eval", action="store_true",
                     help="fit (and optionally save params) without the "
                          "evaluation leg")
@@ -132,8 +136,21 @@ def main(argv=None):
         params = init_unit_params(d=args.d, isotropic=False)
         key = jax.random.PRNGKey(1)
         if args.load_params:
-            params = load_pytree(args.load_params, params)
-            rec = {"n": args.n, "rule": rule, "loaded": args.load_params}
+            # Mirror the --save-params convention (per-rule _<rule>.npz
+            # suffix); fall back to a literal path only when it cannot be
+            # ambiguous (single rule).
+            path = f"{args.load_params}_{rule}.npz"
+            if not os.path.exists(path):
+                if len(args.rules) == 1 and os.path.exists(args.load_params):
+                    path = args.load_params
+                else:
+                    ap.error(
+                        f"--load-params: {path} not found (per-rule suffix "
+                        "convention of --save-params; a bare .npz path is "
+                        "only accepted with a single --rules entry)"
+                    )
+            params = load_pytree(path, params)
+            rec = {"n": args.n, "rule": rule, "loaded": path}
             eval_storage = (
                 jnp.float16
                 if args.matmul in ("bf16", "f16") and args.n > 61440

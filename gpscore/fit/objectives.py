@@ -98,12 +98,10 @@ def make_objective(
         # or the covariance diagonal, so the per-fold O(nb^3) inversion +
         # re-factorization of the covariance path is skipped entirely. For FITC
         # the fold precision is diagonal-minus-low-rank, dropping fold costs to
-        # O(nb m + m^3) (kfold_fitc_lowrank).
+        # O(nb m + m^3) (kfold_fitc_lowrank). Exact-model large n never reaches
+        # here: every fold rule returns through _use_fold_stats first (the
+        # fused core + closed-form-adjoint consumer).
         if model == "exact":
-            if kernel in _FUSED_KERNELS and x.shape[0] >= _FUSED_LOO_MIN_N:
-                return exact_mod.kfold_exact_precision_fused(
-                    x, y, _fused_params(params, kernel, x.shape[1]), fold_k
-                )
             k_ff = gram(x, x, params.log_signal_sq, params.log_length, kind=kernel)
             return exact_mod.kfold_exact_precision(k_ff, y, params.noise_sq, fold_k)
         return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)

@@ -229,11 +229,20 @@ def kfold_exact_precision(k_ff, y, noise_sq, fold_k: int) -> PrecisionGaussian:
     return PrecisionGaussian(mean, La)
 
 
-def kfold_exact_precision_fused(x, y, params, fold_k: int) -> PrecisionGaussian:
+def kfold_exact_precision_fused(
+    x, y, params, fold_k: int, block: int = 2048
+) -> PrecisionGaussian:
     """k-fold block conditionals in precision form via the fused ARD-Gram +
     k-fold solve core (:mod:`gpscore.ops.loo_fused`): same math as
     :func:`kfold_exact_precision`, ~2 n^2 peak HBM instead of ~4 n^2 across a
-    value_and_grad — the large-n path for the DSS/ES/kc objectives."""
+    value_and_grad.
+
+    The large-n DSS/ES/kc *objectives* dispatch to :func:`kfold_stats_fused`
+    (whose fold consumer also closes the scoring-stage adjoints); this
+    constructor remains the public fused path for callers that want the
+    PrecisionGaussian itself (fold-level diagnostics, custom rules).
+    ``block`` is the fused core's panel width, as in :func:`kfold_stats_fused`.
+    """
     from gpscore.ops.loo_fused import ard_kfold_solve_blocks
 
     n = x.shape[0]

@@ -129,12 +129,23 @@ def test_large_n_driver_end_to_end(tmp_path):
         assert rec["loss_last"] < rec["loss_first"]
 
 
-def test_bench_ceiling_driver_cpu():
+def test_bench_ceiling_driver_cpu(monkeypatch):
     """experiments/bench_ceiling.py end to end at toy size (the objective
-    dispatch, block threading, timing loop, and --ref-grad comparison)."""
+    dispatch, block threading, timing loop, and --ref-grad comparison).
+    _FUSED_LOO_MIN_N is lowered so the threaded block=16 core actually
+    engages at n=64; the rebinds must be restored on exit (the round-3
+    advisor found them leaking into later tests)."""
+    import gpscore.fit.objectives as obj
+    import gpscore.models.exact as exact_mod
     from experiments.bench_ceiling import main
 
-    rec = main(["--n", "64", "--d", "2", "--block", "16", "--rule", "dss",
-                "--repeats", "1", "--matmul", "f16", "--ref-grad"])
-    assert np.isfinite(rec["loss"]) and rec["step_s"] >= 0
-    assert rec["grad_cos"] > 0.99
+    monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+    orig = (exact_mod.loo_exact_fused, exact_mod.nlml_exact_fused,
+            exact_mod.kfold_stats_fused)
+    for rule in ("dss", "crps", "nlml"):
+        rec = main(["--n", "64", "--d", "2", "--block", "16", "--rule", rule,
+                    "--repeats", "1", "--matmul", "f16", "--ref-grad"])
+        assert np.isfinite(rec["loss"]) and rec["step_s"] >= 0
+        assert rec["grad_cos"] > 0.99
+    assert (exact_mod.loo_exact_fused, exact_mod.nlml_exact_fused,
+            exact_mod.kfold_stats_fused) == orig

