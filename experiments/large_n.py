@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpscore.fit import fit_gd, make_objective
+from gpscore.fit import fit_gd, fit_gd_recovering, make_objective
 from gpscore.fit.schedules import SCHEDULES, Schedule
 from gpscore.metrics.evaluation import evaluate_predictive
 from gpscore.models.exact import exact_predictive_diag_large
@@ -167,30 +167,30 @@ def main(argv=None):
             continue
 
         seg = max(1, min(args.segment_iters, sched.iters))
-        sizes = [seg] * (sched.iters // seg)
-        if sched.iters % seg:
-            sizes.append(sched.iters % seg)
-        seg_fns = {}
         t0 = time.time()
-        losses = []
-        seg_times = []
         with matmul_mode(args.matmul):  # trace-time: affects the fit only
-            for s, it in enumerate(sizes):
-                fn = seg_fns.setdefault(it, jax.jit(
-                    lambda p, k, _it=it: fit_gd(
-                        loss, p, x, y, iters=_it, lr=sched.lr, key=k)
-                ))
-                ts = time.time()
-                res = fn(params, jax.random.fold_in(key, s))
-                params = res.params
-                losses.extend(np.asarray(res.loss_history).tolist())  # readback
-                seg_times.append((time.time() - ts, it))
+            # Host-chunked fit with AUTOMATIC 2-byte stall recovery: a
+            # mid-fit conditioning crossover (NaN-frozen parameters) is
+            # detected via FitResult.stall_iters and the lost iterations are
+            # re-run under the auto_recover_mode ladder ("high" below the
+            # fp32 ceiling, else "f16") — no hand-chosen --polish-iters
+            # needed for correctness anymore.
+            res, fit_info = fit_gd_recovering(
+                loss, params, x, y, iters=sched.iters, lr=sched.lr, key=key,
+                segment_iters=seg, verbose=True,
+            )
+        params = res.params
+        losses = np.asarray(res.loss_history).tolist()
+        seg_times = [
+            (s["wall_s"], s["iters"]) for s in fit_info["segments"]
+            if s["mode"] == args.matmul
+        ]
         if args.polish_iters and args.matmul != "highest":
-            # exact-precision polish: re-anchors the optimum after the
-            # reduced-precision descent (modes are trace-time, so this is a
-            # separately compiled program) — host-chunked like the main fit
-            # (an unchunked multi-minute polish program gets killed by the
-            # TPU tunnel; CLAUDE.md).
+            # OPTIONAL exact-precision polish on top of the auto-recovered
+            # fit: extra refinement iterations at "highest" (modes are
+            # trace-time, so this is a separately compiled program) —
+            # host-chunked like the main fit (an unchunked multi-minute
+            # polish program gets killed by the TPU tunnel; CLAUDE.md).
             pol = [seg] * (args.polish_iters // seg)
             if args.polish_iters % seg:
                 pol.append(args.polish_iters % seg)
@@ -200,7 +200,7 @@ def main(argv=None):
                     lambda p, k, _it=it: fit_gd(
                         loss, p, x, y, iters=_it, lr=sched.lr, key=k)
                 ))
-                res = fn(params, jax.random.fold_in(key, 10_000 + s2))
+                res = fn(params, jax.random.fold_in(key, 50_000 + s2))
                 params = res.params
                 losses.extend(np.asarray(res.loss_history).tolist())
         wall = time.time() - t0
@@ -209,11 +209,16 @@ def main(argv=None):
 
         if args.save_params:
             save_pytree(f"{args.save_params}_{rule}.npz", params)
+        recov = {"stall_iters": fit_info["stall_iters"],
+                 "recovery": fit_info["recovery"]}
+        if "unrecovered_iters" in fit_info:
+            recov["unrecovered_iters"] = fit_info["unrecovered_iters"]
         if args.skip_eval:
             rec = {"n": args.n, "iters": sched.iters, "lr": sched.lr,
                    "matmul": args.matmul, "fit_wall_s": round(wall, 2),
                    "s_per_iter_steady": round(steady, 3),
-                   "loss_first": losses[0], "loss_last": losses[-1]}
+                   "loss_first": losses[0], "loss_last": losses[-1],
+                   **recov}
             results[rule] = rec
             print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
             continue
@@ -244,6 +249,7 @@ def main(argv=None):
             "fit_wall_s": round(wall, 2),
             "s_per_iter_steady": round(steady, 3),
             "loss_first": losses[0], "loss_last": losses[-1],
+            **recov,
             **{k: float(v) for k, v in m._asdict().items()},
         }
         results[rule] = rec

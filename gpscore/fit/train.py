@@ -28,6 +28,11 @@ class FitResult(NamedTuple):
     loss_history: jnp.ndarray  # [iters]
     ok: jnp.ndarray  # scalar bool: True if any iteration produced a finite loss
     param_history: Optional[GPParams] = None  # [iters, ...]-leaved, if recorded
+    # Trailing consecutive iterations whose update was SKIPPED (non-finite
+    # loss/grad probe): > 0 means the fit ended frozen at its last good
+    # parameters — the 2-byte-storage conditioning stall signature
+    # (gpscore/utils/precision.py mode notes). 0 on a healthy fit.
+    stall_iters: Optional[jnp.ndarray] = None
 
 
 def max_reduce(xs):
@@ -91,7 +96,7 @@ def fit_gd(
     vg = jax.value_and_grad(loss_fn)
 
     def step(carry, i):
-        p = carry
+        p, stall = carry
         k = jax.random.fold_in(key, i)
         loss, grads = vg(p, x, y, k)
         new_p = _apply_update(p, grads, lr, lr_inducing)
@@ -104,6 +109,10 @@ def fit_gd(
             max_reduce([jnp.max(jnp.abs(g)) for g in jax.tree.leaves(grads)]),
         )
         finite = jnp.isfinite(probe)
+        # Trailing-stall counter: consecutive skipped updates ending at the
+        # last iteration (a mid-fit conditioning crossover freezes every
+        # subsequent iteration, so the trailing run length = iterations lost).
+        stall = jnp.where(finite, 0, stall + 1)
         if skip_nonfinite:
             p = jax.tree.map(
                 lambda new, old: jnp.where(finite, new, old), new_p, p
@@ -111,16 +120,152 @@ def fit_gd(
         else:
             p = new_p
         # Record the evaluation point (pre-update), aligned with `loss`.
-        out = (carry, loss) if record_params else loss
-        return p, out
+        out = (carry[0], loss) if record_params else loss
+        return (p, stall), out
 
-    final, outs = jax.lax.scan(step, params, jnp.arange(iters))
+    (final, stall), outs = jax.lax.scan(
+        step, (params, jnp.zeros((), jnp.int32)), jnp.arange(iters)
+    )
     if record_params:
         history, losses = outs
     else:
         history, losses = None, outs
     ok = jnp.any(jnp.isfinite(losses))
-    return FitResult(final, losses, ok, history)
+    return FitResult(final, losses, ok, history, stall)
+
+
+# Measured single-chip fp32-storage objective ceiling (RESULTS.md): below
+# this n the fp32-storage "high" mode fits in HBM and is the preferred
+# recovery target; above it only another 2-byte mode can run.
+_FP32_STORAGE_CEILING_N = 61_440
+
+
+def auto_recover_mode(mode: str, n: int) -> Optional[str]:
+    """The automatic fallback mode for a stalled 2-byte fit at size ``n``.
+
+    The stall (gpscore/utils/precision.py mode notes): mid-descent the learned
+    lengthscales grow, kappa(K_hat) crosses the storage mode's n*u*kappa
+    onset, the factorization NaNs, and NaN-masked updates freeze the
+    parameters. Recovery = re-run the lost iterations under a
+    better-conditioned mode: "high" (fp32 storage, ~2x fp32 rate) when the
+    n^2 fp32 buffers still fit on-chip, else "f16" (8x finer mantissa than
+    bf16 at half memory). Returns None when nothing safer exists (an "f16"
+    stall beyond the fp32 ceiling — the one case left to the caller).
+    """
+    if mode == "bf16":
+        return "high" if n <= _FP32_STORAGE_CEILING_N else "f16"
+    if mode == "f16":
+        return "high" if n <= _FP32_STORAGE_CEILING_N else None
+    return None
+
+
+def fit_gd_recovering(
+    loss_fn,
+    params: GPParams,
+    x,
+    y,
+    iters: int,
+    lr: float,
+    lr_inducing: Optional[float] = None,
+    key: Optional[jax.Array] = None,
+    recover_mode: str = "auto",
+    segment_iters: Optional[int] = None,
+    verbose: bool = False,
+):
+    """:func:`fit_gd` with automatic recovery from 2-byte conditioning stalls.
+
+    Host-controlled (NOT jit/vmap-safe): runs the fit under the ambient
+    matmul mode, reads back :attr:`FitResult.stall_iters`, and — when the fit
+    ended frozen — re-runs exactly the lost iterations under a
+    better-conditioned mode (:func:`auto_recover_mode` ladder, or an explicit
+    ``recover_mode``), continuing from the last good parameters. Replaces the
+    manual fit-then-polish recipe (``experiments/large_n.py --polish-iters``)
+    with detection + automatic fallback; the recovery legs retrace because
+    the precision mode is part of the jit cache key
+    (gpscore/utils/precision.py).
+
+    ``segment_iters`` host-chunks every leg (remote-tunnel transports kill
+    multi-minute device programs; CLAUDE.md). Returns ``(FitResult, info)``
+    where ``info`` records per-segment wall times and the recovery trail;
+    the FitResult's loss_history is the stitched full-schedule history.
+
+    Reference analogue: the try/except -> record-zeros crash handling this
+    framework replaces (`kin40k-FULL-compare.py:726-732`).
+    """
+    import time
+
+    import numpy as np
+
+    from gpscore.utils.precision import get_matmul_mode, matmul_mode
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = x.shape[0]
+
+    def run_leg(p, total, mode, salt):
+        """One host-chunked fit leg under ``mode``; returns the cumulative
+        TRAILING stall across its segments (a frozen fit stays frozen, so a
+        fully-stalled segment extends the run; any finite iteration resets
+        it to that segment's own trailing count)."""
+        seg = total if not segment_iters else max(1, min(segment_iters, total))
+        sizes = [seg] * (total // seg)
+        if total % seg:
+            sizes.append(total % seg)
+        fns = {}
+        losses = []
+        segments = []
+        stall = 0
+        with matmul_mode(mode):
+            for s, it in enumerate(sizes):
+                fn = fns.setdefault(it, jax.jit(
+                    lambda p_, k_, _it=it: fit_gd(
+                        loss_fn, p_, x, y, iters=_it, lr=lr,
+                        lr_inducing=lr_inducing, key=k_)
+                ))
+                t0 = time.time()
+                res = fn(p, jax.random.fold_in(key, salt + s))
+                p = res.params
+                seg_losses = np.asarray(res.loss_history)  # readback
+                losses.append(seg_losses)
+                seg_stall = int(res.stall_iters)
+                stall = stall + it if seg_stall == it else seg_stall
+                segments.append(
+                    {"iters": it, "mode": mode,
+                     "wall_s": round(time.time() - t0, 3)}
+                )
+        return p, np.concatenate(losses), stall, segments
+
+    mode = get_matmul_mode()
+    p, losses, stall, segments = run_leg(params, iters, mode, 0)
+    info = {"mode": mode, "stall_iters": int(stall), "segments": segments,
+            "recovery": []}
+    salt = 10_000
+    while stall > 0:
+        nxt = (auto_recover_mode(mode, n) if recover_mode == "auto"
+               else recover_mode)
+        if nxt is None or nxt == mode:
+            info["unrecovered_iters"] = int(stall)
+            break
+        if verbose:
+            print(f"[fit_gd_recovering] {stall} stalled iteration(s) under "
+                  f"{mode!r}; re-running under {nxt!r}", flush=True)
+        mode = nxt
+        p, rl, stall, rsegs = run_leg(p, stall, mode, salt)
+        # Replace the frozen tail (NaN losses at frozen params) with the
+        # recovered iterations — the stitched history is the real trajectory.
+        losses = np.concatenate([losses[: len(losses) - len(rl)], rl])
+        info["recovery"].append({"mode": mode, "iters": len(rl),
+                                 "stall_after": int(stall)})
+        info["segments"].extend(rsegs)
+        salt += 10_000
+        if recover_mode != "auto":
+            if stall > 0:
+                info["unrecovered_iters"] = int(stall)
+            break
+    losses = jnp.asarray(losses)
+    result = FitResult(p, losses, jnp.any(jnp.isfinite(losses)),
+                       None, jnp.asarray(stall, jnp.int32))
+    return result, info
 
 
 def fit_optax(

@@ -64,7 +64,7 @@ def exact_predictive(k_star_f, k_ff, k_ss, y, noise_sq, *, L=None) -> Gaussian:
 
 def exact_predictive_diag_large(
     x, y, x_test, params, *, block: int = 2048, chunk: int = 2048,
-    storage=None,
+    storage=None, refine: int = 0,
 ) -> Gaussian:
     """Diagonal noise-inclusive exact predictive at large n (ARD kernel).
 
@@ -82,9 +82,19 @@ def exact_predictive_diag_large(
       RHS goes through XLA's expander, whose panel-chain temps measured
       32 GB at n = 30,720 — double the chip), so the t x t covariance never
       exists: var = noise + signal - k*^T K_hat^-1 k* per column.
-    - ``storage`` (e.g. bfloat16) halves the n^2 buffer for evaluating
-      beyond-fp32-ceiling fits (n > ~62k on 16 GB); metrics are then
-      bf16-grade (~3 significant digits) instead of fp32-exact.
+    - ``storage`` (e.g. bfloat16/float16) halves the n^2 buffer for
+      evaluating beyond-fp32-ceiling fits (n > ~62k on 16 GB); plain, the
+      metrics are then 2-byte-grade — pass ``refine`` to fix that.
+    - ``refine`` (with ``storage``): iterative-refinement steps on every
+      solve against the 2-byte-stored inverse M ~ K_hat^-1:
+      ``v <- v + M (b - K_hat v)``, with the EXACT fp32 K_hat recomputed
+      panel-wise per step (:func:`~gpscore.ops.potri_inplace.
+      ard_khat_matmul_streamed` — never an n^2 buffer). Each step contracts
+      the solve error by ~||I - M K_hat|| ~ u_storage * kappa(K_hat), so 1-2
+      steps return fp32-grade means/variances through a half-memory inverse
+      (validated in tests/test_posteriors.py and at n = 57,344 on-chip where
+      both pipelines run, RESULTS.md). Cost: +2 n^2 MACs per step per RHS
+      column on top of the 1 n^2 plain chunk solve.
 
     Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training
     goes through the fused LOO/k-fold/NLML cores).
@@ -92,6 +102,7 @@ def exact_predictive_diag_large(
     from gpscore.ops.kernels import ard_gram
     from gpscore.ops.potri_inplace import (
         ard_gram_inverse_inplace,
+        ard_khat_matmul_streamed,
         pad_rows,
         zero_pad,
     )
@@ -106,9 +117,19 @@ def exact_predictive_diag_large(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
         x_pad, n, block, storage=storage,
     )
-    alpha = matmul_acc32(
-        Kinv, y_pad.astype(Kinv.dtype).reshape(n_pad, 1)
-    )[:, 0]  # K_hat^-1 y, fp32
+
+    def solve(B):
+        """K_hat^-1 B through the stored inverse, optionally refined."""
+        V = matmul_acc32(Kinv, B.astype(Kinv.dtype))
+        for _ in range(refine if storage is not None else 0):
+            r = B - ard_khat_matmul_streamed(
+                params.log_signal_sq, params.log_length, params.log_noise_sq,
+                x_pad, n, V, block,
+            )
+            V = V + matmul_acc32(Kinv, r.astype(Kinv.dtype))
+        return V
+
+    alpha = solve(y_pad.reshape(n_pad, 1))[:, 0]  # K_hat^-1 y, fp32
     signal_sq = jnp.exp(params.log_signal_sq)
     noise_sq = params.noise_sq
     realmask = None
@@ -123,7 +144,7 @@ def exact_predictive_diag_large(
         if realmask is not None:
             ks = ks * realmask  # padded train rows contribute nothing
         mean_c = jnp.einsum("nc,n->c", ks, alpha, precision=MM_PRECISION)
-        V = matmul_acc32(Kinv, ks.astype(Kinv.dtype))  # K_hat^-1 K_f*, fp32
+        V = solve(ks)  # K_hat^-1 K_f*, fp32
         var_c = noise_sq + signal_sq - jnp.sum(ks * V, axis=0)
         return None, (mean_c, var_c)
 

@@ -290,6 +290,48 @@ def _gram_khat_full(log_signal_sq, log_length, log_noise_sq, x, n_real,
     return lax.fori_loop(0, n // b, panel, jnp.zeros((n, n), storage))
 
 
+def ard_khat_matmul_streamed(log_signal_sq, log_length, log_noise_sq, x,
+                             n_real, V, block):
+    """``K_hat_padded @ V`` ([n_pad, c] fp32) without materializing K_hat.
+
+    K_hat_padded is the same masked-padded ``blockdiag(K_ard(x[:n_real]) +
+    noise I, (1 + noise) I)`` as :func:`_gram_khat_full`; its row panels are
+    recomputed from ``x`` one ``block`` at a time (O(n * block) live, fp32
+    exact arithmetic), so the product costs n^2 c MACs and no n^2 buffer.
+    Used by the iterative-refinement evaluation path
+    (:func:`gpscore.models.exact.exact_predictive_diag_large` ``refine``):
+    the residual ``B - K_hat V`` against a 2-byte-stored approximate inverse
+    needs the EXACT operator, not the rounded one.
+    """
+    n = x.shape[0]
+    d = x.shape[1]
+    b = block
+    c = V.shape[1]
+    f32 = jnp.float32
+    noise = jnp.exp(log_noise_sq)
+    ids = jnp.arange(n)
+    V = V.astype(f32)
+
+    def panel(pi, out):
+        s = pi * b
+        xb = lax.dynamic_slice(x, (s, 0), (b, d))
+        P = ard_gram(xb, x, log_signal_sq, log_length)  # [b, n] fp32
+        rid = s + jnp.arange(b)
+        if n_real < n:
+            P = jnp.where(
+                (rid < n_real)[:, None] & (ids < n_real)[None, :], P,
+                jnp.zeros((), f32),
+            )
+            dval = jnp.where(rid < n_real, noise, 1.0 + noise)
+        else:
+            dval = jnp.broadcast_to(noise, (b,)).astype(f32)
+        P = jnp.where(ids[None, :] == rid[:, None], P + dval[:, None], P)
+        blk = jnp.matmul(P, V, precision=jax.lax.Precision.HIGHEST)
+        return lax.dynamic_update_slice(out, blk, (s, 0))
+
+    return lax.fori_loop(0, n // b, panel, jnp.zeros((n, c), f32))
+
+
 def chol_inplace_fori(W, b, n_real=None):
     """(W <- L, half_logdet) LEFT-looking blocked Cholesky of the SPD W,
     bounded trace: outer fori over pivots; each column panel subtracts its

@@ -30,9 +30,16 @@ Together the fused-sharded steps hold ~n^2/p + O(n b) per device across the
 whole step — the same residual discipline the single-chip in-place pipeline
 measured at 1.04 n^2 (BENCH_NOTES.md), now scaled by 1/p.
 
-All three stages use static full-width panels + index masks (no shrinking
-shapes), so the outer loops are ``lax.fori_loop`` — trace size is O(1) in
-n/block, unlike the trace-unrolled single-chip chains.
+All three stages run as nested ``lax.fori_loop``s over the [b, b] blocks of
+the ACTIVE (triangular) region only — the single-chip bounded-trace pattern
+(:func:`gpscore.ops.potri_inplace._tri_inv_fori`) adapted to the row shard:
+each device walks ``clip(active_block - base, 0, kb_local)`` of its own row
+blocks, with traced loop bounds, so trace size is O(1) in n/block AND the
+FLOPs are exact (sum n^3/2 MACs across the three stages). The round-3 form
+used static full-local-width panels + index masks, which paid ~3x MACs on
+the Schur/accumulation GEMMs (rows outside the active triangle were computed
+and discarded); only the O(n^2 b) epilogues keep the full-width-plus-mask
+shape.
 
 Like the rest of the sharded stack the kernels here are ARD
 (`kin40k-FULL-compare.py:7-23`); reference analogue of the whole module: the
@@ -94,9 +101,12 @@ def ard_gram_inverse_inplace_sharded(
     d = x.shape[1]
     f32 = jnp.float32
 
+    kb_local = rows_per // b  # row blocks per device (static)
+
     def local_fn(ls, ll, ln, x_full):
         idx = lax.axis_index(axis)
         row0 = idx * rows_per
+        base = idx * kb_local  # global index of this device's first row block
         row_ids = row0 + jnp.arange(rows_per)
         col_ids = jnp.arange(n)
         dtype = x_full.dtype if storage is None else storage
@@ -161,17 +171,31 @@ def ard_gram_inverse_inplace_sharded(
 
             P = lax.dynamic_slice(W, (0, kb), (rows_per, b)).astype(f32)
 
-            def j_body(j, P):
-                Lj = lax.dynamic_slice(W, (0, j * b), (rows_per, b))
-                Tj = lax.dynamic_slice(band, (0, j * b), (b, b))
-                # P -= L[:, j] L[kk, j]^T, contracted on dim 1 of both reads,
-                # fp32 accumulation whatever the storage dtype.
-                return P - lax.dot_general(
-                    Lj, Tj, (((1,), (1,)), ((), ())),
-                    precision=crit, preferred_element_type=f32,
-                )
+            # FLOP-exact left update: only the ACTIVE local row blocks
+            # (global block >= kk) subtract their rank-kb Schur term, as
+            # [b, b] GEMM blocks — inactive rows keep the raw K_hat value
+            # and are masked out of Lcol below (same semantics as the
+            # round-3 full-width form, at n^3/6 MACs instead of n^3/2).
+            lo = jnp.clip(kk - base, 0, kb_local)
 
-            P = lax.fori_loop(0, kk, j_body, P)
+            def ip_body(ip, P):
+                sl = ip * b
+                blk = lax.dynamic_slice(P, (sl, 0), (b, b))
+
+                def j_body(j, blk):
+                    Lj = lax.dynamic_slice(W, (sl, j * b), (b, b))
+                    Tj = lax.dynamic_slice(band, (0, j * b), (b, b))
+                    # blk -= L[ip, j] L[kk, j]^T, contracted on dim 1 of
+                    # both reads, fp32 accumulation whatever the storage.
+                    return blk - lax.dot_general(
+                        Lj, Tj, (((1,), (1,)), ((), ())),
+                        precision=crit, preferred_element_type=f32,
+                    )
+
+                blk = lax.fori_loop(0, kk, j_body, blk)
+                return lax.dynamic_update_slice(P, blk, (sl, 0))
+
+            P = lax.fori_loop(lo, kb_local, ip_body, P)
             D_contrib = lax.dynamic_slice(P, (local_off, 0), (b, b))
             D = lax.psum(jnp.where(idx == owner, D_contrib, 0.0), axis)
             # D.T: bitcast into the cholesky leaf's column-major preference
@@ -224,17 +248,34 @@ def ard_gram_inverse_inplace_sharded(
             Ljj = jnp.tril(lax.dynamic_slice(strip, (s, 0), (b, b)))
             Xjj = solve_triangular(Ljj.astype(f32), eye_b, lower=True)
 
-            def acc_body(jp, acc):
-                Xp = lax.dynamic_slice(W, (0, jp * b), (rows_per, b))
-                Lb = lax.dynamic_slice(strip, (jp * b, 0), (b, b))
-                # fp32 cross-block accumulation regardless of storage
-                return acc + lax.dot_general(
-                    Xp, Lb, (((1,), (0,)), ((), ())),
-                    precision=mm_precision(), preferred_element_type=f32,
+            # FLOP-exact accumulation: active local row blocks (global
+            # block g > pi) contract only the nonzero X blocks jp in
+            # (pi, g] — X[g, jp] is exactly zero for jp > g (stage 1/2
+            # write discipline), so the round-3 full-width loop burned
+            # those MACs on zeros. Inactive rows stay zero in acc.
+            lo = jnp.clip(pi + 1 - base, 0, kb_local)
+
+            def ip_body(ip, acc):
+                g = base + ip
+                sl = ip * b
+
+                def jp_body(jp, ablk):
+                    Xp = lax.dynamic_slice(W, (sl, jp * b), (b, b))
+                    Lb = lax.dynamic_slice(strip, (jp * b, 0), (b, b))
+                    # fp32 cross-block accumulation regardless of storage
+                    return ablk + lax.dot_general(
+                        Xp, Lb, (((1,), (0,)), ((), ())),
+                        precision=mm_precision(), preferred_element_type=f32,
+                    )
+
+                ablk = lax.fori_loop(
+                    pi + 1, g + 1, jp_body,
+                    lax.pcast(jnp.zeros((b, b), f32), (axis,), to="varying"),
                 )
+                return lax.dynamic_update_slice(acc, ablk, (sl, 0))
 
             acc = lax.fori_loop(
-                pi + 1, k, acc_body,
+                lo, kb_local, ip_body,
                 lax.pcast(jnp.zeros((rows_per, b), f32), (axis,),
                           to="varying"),
             )
@@ -257,27 +298,37 @@ def ard_gram_inverse_inplace_sharded(
             owner = s // rows_per
             local_off = s - owner * rows_per
             mask_ge_s = (row_ids >= s)[:, None]
-            Mcol = jnp.where(
-                mask_ge_s, lax.dynamic_slice(W, (0, s), (rows_per, b)), 0.0
-            )
 
-            # Partial B rows, transposed and active chunks only (j < s is
-            # never consumed): B^T[c, j] = sum_r Mcol[r, c] W[r, j],
-            # contracted via dot_general on the local row axis — no W-wide
-            # transpose (layout note above), the band mirror consumes B^T
-            # directly, and n^3/p FLOPs total instead of the full-width
-            # 2 n^3/p.
-            def b_body(jp, BpartT):
-                s2 = jp * b
-                Wc = lax.dynamic_slice(W, (0, s2), (rows_per, b))
-                blk = lax.dot_general(
-                    Mcol, Wc, (((0,), (0,)), ((), ())),
-                    precision=mm_precision(), preferred_element_type=f32,
-                )
-                return lax.dynamic_update_slice(BpartT, blk, (0, s2))
+            # Partial B rows, transposed, FLOP-exact: B^T[c, j] =
+            # sum_r X[r, s+c] X[r, j], where both factors are nonzero only
+            # on the lower triangle — row block g contributes to column
+            # blocks jp in [pi, g] exactly (X[g, jp] = 0 above the
+            # diagonal). Each active local row block accumulates its [b, b]
+            # products into the [b, n] partial, contracted on the local row
+            # axis — no W-wide transpose (layout note above), the band
+            # mirror consumes B^T directly, n^3/6 MACs total.
+            lo = jnp.clip(pi - base, 0, kb_local)
+
+            def ip_body(ip, BpartT):
+                g = base + ip
+                sl = ip * b
+                Mblk = lax.dynamic_slice(W, (sl, s), (b, b))
+
+                def jp_body(jp, BpartT):
+                    Wc = lax.dynamic_slice(W, (sl, jp * b), (b, b))
+                    blk = lax.dot_general(
+                        Mblk, Wc, (((0,), (0,)), ((), ())),
+                        precision=mm_precision(), preferred_element_type=f32,
+                    )
+                    cur = lax.dynamic_slice(BpartT, (0, jp * b), (b, b))
+                    return lax.dynamic_update_slice(
+                        BpartT, cur + blk, (0, jp * b)
+                    )
+
+                return lax.fori_loop(pi, g + 1, jp_body, BpartT)
 
             BpartT = lax.fori_loop(
-                pi, k, b_body,
+                lo, kb_local, ip_body,
                 lax.pcast(jnp.zeros((b, n), f32), (axis,), to="varying"),
             )
             B_fullT = lax.psum(BpartT, axis)  # [b, n]

@@ -109,6 +109,97 @@ def test_skip_nonfinite_preserves_params(synth):
     )
 
 
+class TestStallRecovery:
+    """2-byte conditioning-stall detection + automatic recovery
+    (gpscore/utils/precision.py stall notes; fit_gd_recovering replaces the
+    manual large_n.py --polish-iters recipe).
+
+    The stall is reproduced with a mode-sensitive toy objective: like the
+    fused cores, it reads the matmul mode at TRACE time and goes NaN past a
+    parameter threshold under 2-byte modes only — the measured CRPS-at-30,720
+    signature (clean in "high", frozen partway in "f16") in miniature.
+    """
+
+    @staticmethod
+    def _params0():
+        return GPParams(
+            log_signal_sq=jnp.float32(0.0),
+            log_length=jnp.ones((1,), jnp.float32),
+            log_noise_sq=jnp.float32(1.0),
+        )
+
+    @staticmethod
+    def _mode_sensitive_loss(params, x, y, key=None):
+        from gpscore.utils.precision import get_matmul_mode
+
+        base = (params.log_signal_sq - 1.0) ** 2
+        if get_matmul_mode() in ("bf16", "f16"):
+            # conditioning crossover stand-in: NaN once the parameter
+            # descends past the mode's stability onset
+            base = jnp.where(params.log_signal_sq > 0.55, jnp.nan, base)
+        return base
+
+    def test_stall_iters_counts_trailing_skips(self, synth):
+        from gpscore.utils.precision import matmul_mode
+
+        p = self._params0()
+        with matmul_mode("f16"):
+            res = fit_gd(self._mode_sensitive_loss, p, synth.train_x,
+                         synth.train_y, iters=8, lr=0.25)
+        # trajectory: 0 -> 0.5 (finite) -> 0.75 -> NaN, frozen for the rest
+        assert int(res.stall_iters) == 6
+        np.testing.assert_allclose(
+            float(res.params.log_signal_sq), 0.75, rtol=1e-6
+        )
+        # healthy fit reports zero
+        res2 = fit_gd(self._mode_sensitive_loss, p, synth.train_x,
+                      synth.train_y, iters=8, lr=0.25)
+        assert int(res2.stall_iters) == 0
+
+    @pytest.mark.parametrize("segment_iters", [None, 3])
+    def test_fit_gd_recovering_completes(self, synth, segment_iters):
+        from gpscore.fit import fit_gd_recovering
+        from gpscore.utils.precision import matmul_mode
+
+        p = self._params0()
+        with matmul_mode("f16"):
+            res, info = fit_gd_recovering(
+                self._mode_sensitive_loss, p, synth.train_x, synth.train_y,
+                iters=8, lr=0.25, segment_iters=segment_iters,
+            )
+        # auto ladder at small n: f16 -> high; the 6 lost iterations re-run
+        assert info["stall_iters"] == 6
+        assert info["recovery"] == [
+            {"mode": "high", "iters": 6, "stall_after": 0}
+        ]
+        assert int(res.stall_iters) == 0
+        assert res.loss_history.shape == (8,)
+        assert np.isfinite(np.asarray(res.loss_history)).all()
+        # recovered past the f16 wall toward the optimum at 1.0
+        assert float(res.params.log_signal_sq) > 0.95
+
+    def test_fit_gd_recovering_no_stall_is_single_leg(self, synth):
+        from gpscore.fit import fit_gd_recovering
+
+        p = self._params0()
+        res, info = fit_gd_recovering(
+            self._mode_sensitive_loss, p, synth.train_x, synth.train_y,
+            iters=5, lr=0.25,
+        )
+        assert info["stall_iters"] == 0 and info["recovery"] == []
+        assert float(res.params.log_signal_sq) > 0.9
+
+    def test_auto_recover_mode_ladder(self):
+        from gpscore.fit import auto_recover_mode
+
+        assert auto_recover_mode("bf16", 30_720) == "high"
+        assert auto_recover_mode("bf16", 86_016) == "f16"
+        assert auto_recover_mode("f16", 30_720) == "high"
+        assert auto_recover_mode("f16", 86_016) is None  # nothing safer
+        assert auto_recover_mode("highest", 30_720) is None
+        assert auto_recover_mode("fast", 30_720) is None
+
+
 def test_fit_optax_runs(synth):
     import optax
 

@@ -335,6 +335,51 @@ class TestFusedInplaceParity:
             rtol=2e-2, atol=2e-2,
         )
 
+    @pytest.mark.parametrize("n,t", [(64, 16), (52, 23)])  # incl. padded rows
+    def test_predictive_diag_large_f16_refined_is_fp32_grade(self, rng, n, t):
+        """``refine``: iterative refinement through the f16-stored inverse
+        (exact K_hat recomputed panel-wise per step) recovers fp32-grade
+        means/variances — the beyond-fp32-ceiling evaluation fix (round-3
+        review: 81-88k fits were scored with 2-byte-grade metrics)."""
+        from gpscore.models.exact import (
+            exact_predictive,
+            exact_predictive_diag_large,
+        )
+        from gpscore.utils.params import GPParams
+
+        x, y, s, ell, nu = _problem(rng, n)
+        # longer lengthscales -> higher kappa(K_hat): makes the plain f16
+        # solve error visible so the contraction is actually measured
+        ell = ell + 1.0
+        xt = jnp.asarray(rng.standard_normal((t, x.shape[1])).astype(np.float32))
+        p = GPParams(s, ell, nu)
+        k_ff = ard_gram(x, x, s, ell)
+        k_sf = ard_gram(xt, x, s, ell)
+        k_ss = ard_gram(xt, xt, s, ell)
+        want = exact_predictive(k_sf, k_ff, k_ss, y, jnp.exp(nu))
+        wm, wv = np.asarray(want.mean), np.asarray(jnp.diagonal(want.cov))
+
+        def errs(pred):
+            return (
+                np.max(np.abs(np.asarray(pred.mean) - wm)),
+                np.max(np.abs(np.asarray(pred.cov) - wv)),
+            )
+
+        plain = exact_predictive_diag_large(
+            x, y, xt, p, block=16, chunk=16, storage=jnp.float16
+        )
+        refined = exact_predictive_diag_large(
+            x, y, xt, p, block=16, chunk=16, storage=jnp.float16, refine=2
+        )
+        em_p, ev_p = errs(plain)
+        em_r, ev_r = errs(refined)
+        # fp32-grade after refinement (the fp32 pipeline itself sits at
+        # ~1e-4 vs the dense reference on solve-backed quantities)
+        assert em_r < 2e-4 and ev_r < 2e-4, (em_r, ev_r)
+        # and strictly tighter than the plain 2-byte solve
+        assert em_r < 0.2 * max(em_p, 1e-6) or em_p < 2e-4
+        assert ev_r < 0.2 * max(ev_p, 1e-6) or ev_p < 2e-4
+
     @pytest.mark.parametrize("n,t,block,chunk", [(52, 23, 16, 8), (64, 16, 16, 16)])
     def test_predictive_diag_large_matches_dense(self, rng, n, t, block, chunk):
         """Chunked large-n predictive == exact_predictive's diagonal, with

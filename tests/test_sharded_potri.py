@@ -283,3 +283,95 @@ def test_fused_sharded_loo_step_default_block(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-2
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rule", ["dss", "kc"])
+def test_fused_sharded_kfold_step_default_block(rng, rule):
+    """The fused-sharded k-fold step at the DEFAULT block=256 and n=2048 —
+    the production panel/psum configuration through the whole in-place potri
+    + fold-sandwich streamed-backward chain (round-3 review: the kfold/nlml
+    factories only ever executed at toy block=8-16, n<=128)."""
+    from gpscore.fit import make_objective
+    from gpscore.parallel import make_sharded_fused_kfold_fit_step
+    from gpscore.utils.params import GPParams
+
+    mesh = make_mesh(batch=1, data=8)
+    n, d, lr, fold_k = 2048, 3, 0.01, 4
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(d),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_kfold_fit_step(
+        mesh, rule=rule, fold_k=fold_k, lr=lr, block=256
+    )
+    loss0, p1 = step(p, x, y)
+    ref_loss = make_objective(rule, model="exact")
+    want0, grads = jax.value_and_grad(ref_loss)(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(want0), rtol=2e-4)
+    p1_want = jax.tree.map(lambda a, g: a - lr * g, p, grads)
+    for got, want in zip(jax.tree.leaves(p1), jax.tree.leaves(p1_want)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-2
+        )
+
+
+@pytest.mark.slow
+def test_fused_sharded_nlml_step_default_block(rng):
+    """The fused-sharded NLML step at the DEFAULT block=256 and n=2048
+    (loss parity with the single-device objective + one-step param parity)."""
+    from gpscore.fit import make_objective
+    from gpscore.parallel import make_sharded_fused_nlml_fit_step
+    from gpscore.utils.params import GPParams
+
+    mesh = make_mesh(batch=1, data=8)
+    n, d, lr = 2048, 3, 0.0005
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(d),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_nlml_fit_step(mesh, lr=lr, block=256)
+    loss0, p1 = step(p, x, y)
+    ref_loss = make_objective("nlml", model="exact")
+    want0, grads = jax.value_and_grad(ref_loss)(p, x, y, None)
+    np.testing.assert_allclose(float(loss0), float(want0), rtol=2e-4)
+    p1_want = jax.tree.map(lambda a, g: a - lr * g, p, grads)
+    for got, want in zip(jax.tree.leaves(p1), jax.tree.leaves(p1_want)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-2
+        )
+
+
+@pytest.mark.slow
+def test_fused_sharded_es_step_default_block(rng):
+    """The fused-sharded ES step at the DEFAULT block=256 and n=2048: finite
+    loss, finite updated params, and descent over one more step (ES is
+    stochastic — exact parity with the single-chip sampler is not defined
+    across different fold-block layouts, so this pins execution + descent)."""
+    from gpscore.parallel import make_sharded_fused_kfold_fit_step
+    from gpscore.utils.params import GPParams
+
+    mesh = make_mesh(batch=1, data=8)
+    n, d = 2048, 3
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    p = GPParams(
+        log_signal_sq=jnp.float32(0.5),
+        log_length=jnp.zeros(d),
+        log_noise_sq=jnp.float32(0.0),
+    )
+    step = make_sharded_fused_kfold_fit_step(
+        mesh, rule="es", fold_k=4, lr=0.01, block=256, num_sim=64
+    )
+    key = jax.random.PRNGKey(0)
+    loss0, p1 = step(p, x, y, key=key)
+    assert np.isfinite(float(loss0))
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree.leaves(p1))
+    loss1, _ = step(p1, x, y, key=key)
+    assert float(loss1) < float(loss0)
