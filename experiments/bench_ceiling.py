@@ -57,6 +57,7 @@ def _thread_block(rule, block):
         "loo_exact_fused": exact_mod.loo_exact_fused,
         "nlml_exact_fused": exact_mod.nlml_exact_fused,
         "kfold_stats_fused": exact_mod.kfold_stats_fused,
+        "kfold_es_fused": exact_mod.kfold_es_fused,
     }
     try:
         if rule in ("crps", "logs", "interval"):
@@ -79,6 +80,9 @@ def _thread_block(rule, block):
         else:
             exact_mod.kfold_stats_fused = functools.partial(
                 exact_mod.kfold_stats_fused, block=block
+            )
+            exact_mod.kfold_es_fused = functools.partial(
+                exact_mod.kfold_es_fused, block=block
             )
         yield
     finally:

@@ -117,13 +117,11 @@ def make_objective(
             and x.shape[0] >= _FUSED_LOO_MIN_N
         )
 
-    def _fold_stats(params, x, y, num_eps, key=None, want_inv_diag=False):
-        n = x.shape[0]
-        nb = n // fold_k
-        if num_eps:
-            eps = jax.random.normal(key, (fold_k, nb, num_eps), x.dtype)
-        else:
-            eps = jnp.zeros((fold_k, nb, 0), x.dtype)
+    def _fold_stats(params, x, y, want_inv_diag=False):
+        # dss/kc only: ES routes through kfold_es_fused (fold-streamed
+        # sampler), so the stats path never carries samples (S = 0).
+        nb = x.shape[0] // fold_k
+        eps = jnp.zeros((fold_k, nb, 0), x.dtype)
         return exact_mod.kfold_stats_fused(
             x, y, _fused_params(params, kernel, x.shape[1]), fold_k, eps,
             want_inv_diag,
@@ -165,7 +163,7 @@ def make_objective(
             if _use_fold_stats(x):
                 # DSS_b = nb/2 log 2pi - hld_b + 1/2 e_b^T a_b  (r_b = e_b and
                 # the quadratic r^T A r collapses to e^T a since A e = a).
-                stats, a_b, _ = _fold_stats(params, x, y, 0)
+                stats, a_b, _ = _fold_stats(params, x, y)
                 nb = a_b.shape[1]
                 return (
                     0.5 * fold_k * nb * jnp.log(2.0 * jnp.pi)
@@ -190,16 +188,14 @@ def make_objective(
 
         def loss(params, x, y, key):
             if _use_fold_stats(x):
-                # Reparameterized sampler z = La^-T eps inside the stats
-                # primitive; r_b = m_b - y_b = -e_b.
-                stats, _, _ = _fold_stats(params, x, y, 2 * num_sim, key)
-                z, zp = stats.z[:, :num_sim], stats.z[:, num_sim:]
-                per_fold = jax.vmap(
-                    lambda zz, zzp, rr: rules.energy_score_core(
-                        zz, zzp, rr, num_sim, es_beta
-                    )
-                )(z, zp, -stats.e)
-                return jnp.sum(per_fold)
+                # Fold-streamed sampler: eps regenerated per fold from
+                # counter keys inside the custom-VJP consumer — no
+                # [fold_k, nb, 2S] sample stack exists at any point
+                # (gpscore.ops.fold_core.fold_es_score).
+                return exact_mod.kfold_es_fused(
+                    x, y, _fused_params(params, kernel, x.shape[1]),
+                    fold_k, key, num_sim, es_beta,
+                )
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)
             if model == "exact":
@@ -225,7 +221,7 @@ def make_objective(
 
         def loss(params, x, y, key=None):
             if _use_fold_stats(x):
-                stats, _, y_b = _fold_stats(params, x, y, 0, want_inv_diag=True)
+                stats, _, y_b = _fold_stats(params, x, y, want_inv_diag=True)
                 return rules.crps_kfold(y_b - stats.e, stats.inv_diag, y_b)
             p = _kfold_precision(params, x, y)
             y_b = y.reshape(p.mean.shape)

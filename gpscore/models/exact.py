@@ -317,6 +317,36 @@ def kfold_stats_fused(x, y, params, fold_k: int, eps,
     return stats, a_b, y.reshape(fold_k, nb)
 
 
+def kfold_es_fused(x, y, params, fold_k: int, key, num_sim: int = 300,
+                   es_beta: float = 1.0, block: int = 2048):
+    """Large-n ES objective: the fused ARD-Gram + k-fold solve core composed
+    with the fold-streamed ES consumer
+    (:func:`gpscore.ops.fold_core.fold_es_score`).
+
+    Same per-fold conditionals and S(S-1)-normalized MC energy score as the
+    :func:`kfold_stats_fused` route (reference
+    `kin40k-FULL-compare.py:616-657`), but the [fold_k, nb, 2S] sample
+    stacks never exist: eps is drawn one fold at a time from counter keys
+    derived off ``key`` and regenerated in the backward, which removes the
+    ~0.6 GB sampler chain that held ES one block size below dss/kc at the
+    2-byte ceiling (round-3 RESULTS.md). Returns the scalar summed score.
+    """
+    from gpscore.ops.fold_core import fold_es_score
+    from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+
+    n = x.shape[0]
+    y = y.reshape(n)
+    a, A = ard_kfold_solve_blocks(
+        params.log_signal_sq, params.log_length, params.log_noise_sq,
+        x, y, fold_k, block,
+    )
+    nb = n // fold_k
+    scores = fold_es_score(
+        A, a.reshape(fold_k, nb), jax.random.key_data(key), num_sim, es_beta
+    )
+    return jnp.sum(scores)
+
+
 def nlml_exact_fused(x, y, params):
     """NLML via the fused in-place core (:func:`gpscore.ops.loo_fused.ard_nlml`):
     same value as :func:`nlml_exact`, but the Gram never persists as an autodiff

@@ -370,3 +370,132 @@ def _fps_bwd(want_inv_diag, res, cot):
 
 fold_precision_stats.defvjp(_fps_fwd, _fps_bwd)
 
+
+# ---------------------------------------------------------------------------
+# Streamed ES: sample buffers regenerated fold-by-fold from counter keys
+# ---------------------------------------------------------------------------
+
+
+def _fold_eps(key_data, f, nb_pad, num_sim):
+    """The fold-f sample block [nb_pad, 2 num_sim] fp32, deterministic in
+    (key_data, f) — regenerated bit-identically in forward AND backward, so
+    eps is never a residual. Rows >= the real nb are draw-padding: the padded
+    factor is blockdiag(real, I), so they never leak into real z rows."""
+    key = jax.random.fold_in(jax.random.wrap_key_data(key_data), f)
+    return jax.random.normal(key, (nb_pad, 2 * num_sim), jnp.float32)
+
+
+def _es_from_cols(zT, e_f, num_sim, beta):
+    """Per-fold ES from column-stacked samples zT [nb, 2S] (z | z') and the
+    fold mean error e (r = m - y = -e). Thin shim over
+    :func:`gpscore.scoring.rules.energy_score_core`; small enough ([S, nb]
+    temps + one [S, S] cross block) that its autodiff is the cheap part of
+    the backward."""
+    from gpscore.scoring.rules import energy_score_core
+
+    z = zT[:, :num_sim].T
+    zp = zT[:, num_sim:].T
+    return energy_score_core(z, zp, -e_f, num_sim, beta)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fold_es_score(A, a, key_data, num_sim: int = 300, beta: float = 1.0):
+    """Per-fold energy scores [k] with fold-streamed sampling and closed-form
+    adjoints — the large-n ES objective's fold stage.
+
+    Versus routing ES through :func:`fold_precision_stats`: the eps input
+    ([k, nb, 2S]), the z output, the saved-eps residual, and the z_bar /
+    eps_bar cotangent stacks all disappear. Samples are drawn ONE FOLD AT A
+    TIME from counter-derived keys (``key_data`` = ``jax.random.key_data`` of
+    a PRNG key; raw uint32 so the VJP can return a float0 cotangent) and
+    regenerated bit-identically in the backward — live sample state is one
+    [nb_pad, 2S] block. At the measured f16 ceiling that removes the ~0.6 GB
+    sampler chain that kept ES at n = 57,344 while dss/kc ran 61,440
+    (RESULTS.md round-3 ceiling table).
+
+    A: [k, nb, nb] SPD fold precisions; a: [k, nb] fold slices of K_hat^-1 y.
+    Scores use the reference's S(S-1) pairing normalization
+    (`kin40k-FULL-compare.py:616-657` via energy_score_core).
+    Differentiable w.r.t. A and a.
+    """
+    scores, _ = _fes_forward(A, a, key_data, num_sim, beta)
+    return scores
+
+
+def _fes_forward(A, a, key_data, num_sim, beta):
+    f32 = jnp.float32
+    st = A.dtype
+    nb = a.shape[-1]
+    _, Li, _ = _fold_chol_inv(A)
+    nb_pad = Li.shape[-1]
+    a_p = _zero_pad_cols(a, nb_pad).astype(st)
+    # barriered matvecs — see _stats_forward note
+    w = _bdot32(Li, jax.lax.optimization_barrier(a_p)[..., None])
+    w = jax.lax.optimization_barrier(w)
+    e = _bdot32(jnp.swapaxes(Li, -1, -2), w.astype(st))[..., 0][:, :nb]
+    scores = []
+    for f in range(A.shape[0]):
+        eps_f = _fold_eps(key_data, f, nb_pad, num_sim).astype(st)
+        zT = _dot32(Li[f].T, eps_f)[:nb]  # [nb, 2S] fp32
+        scores.append(_es_from_cols(zT, e[f], num_sim, beta))
+    return jnp.stack(scores), (Li, e)
+
+
+def _fes_fwd(A, a, key_data, num_sim, beta):
+    scores, (Li, e) = _fes_forward(A, a, key_data, num_sim, beta)
+    # Residual: factor inverse + fold mean errors only. eps and z are
+    # regenerated; A, a, La are never kept.
+    return scores, (Li, e, key_data)
+
+
+def _fes_bwd(num_sim, beta, res, s_bar):
+    import numpy as np
+
+    Li, e, key_data = res
+    f32 = jnp.float32
+    st = Li.dtype
+    k, nb_pad = Li.shape[0], Li.shape[-1]
+    nb = e.shape[-1]
+    e_p = _zero_pad_cols(e, nb_pad)
+
+    A_bar = jnp.zeros((k, nb_pad, nb_pad), st)
+    a_bar_rows = []
+    for f in range(k):
+        Lf = Li[f]
+        eps_f = _fold_eps(key_data, f, nb_pad, num_sim).astype(st)
+        zT = _dot32(Lf.T, eps_f)[:nb]
+        # score adjoints w.r.t. (z columns, e) — autodiff of the small rule
+        # arithmetic only; everything upstream stays closed form.
+        _, vjp_fn = jax.vjp(
+            lambda zT_, e_: _es_from_cols(zT_, e_, num_sim, beta), zT, e[f]
+        )
+        zT_bar, e_bar_f = vjp_fn(s_bar[f])
+
+        Ainv_f = _dot32(Lf.T, Lf)  # [nb_pad, nb_pad] fp32
+        e_bar_p = jnp.zeros((nb_pad,), f32).at[:nb].set(e_bar_f)
+        u = matmul(
+            Ainv_f, jax.lax.optimization_barrier(e_bar_p)[:, None]
+        )[:, 0]
+        u = jax.lax.optimization_barrier(u)
+        a_bar_rows.append(u[:nb])
+        Af_bar = -_sym(u[:, None] * e_p[f][None, :])
+        # collapsed sample-path Cholesky VJP (see _fold_adjoints): with
+        # Y_bar = zT_bar padded, G = La^-1 z_bar^T = Li Y_bar,
+        # P = -Phi(eps G^T), A_bar += 1/2 La^-T (P + P^T) La^-1 — assembled
+        # via the one-temp sandwich T = La^-T P La^-1.
+        Y_bar = jnp.zeros((nb_pad, 2 * num_sim), f32).at[:nb].set(zT_bar)
+        G = _dot32(Lf, Y_bar.astype(st))  # [nb_pad, 2S] fp32
+        H = _dot32(eps_f, G.astype(st).T)  # eps G^T, fp32
+        W1 = _dot32(_phi(H).astype(st), Lf)
+        T = _dot32(Lf.T, W1.astype(st))
+        Af_bar = Af_bar - 0.5 * (T + T.T)
+        A_bar = jax.lax.dynamic_update_slice(
+            A_bar, Af_bar.astype(st)[None], (f, 0, 0)
+        )
+
+    key_bar = np.zeros(jnp.shape(res[2]), dtype=jax.dtypes.float0)
+    return A_bar[:, :nb, :nb], jnp.stack(a_bar_rows), key_bar
+
+
+fold_es_score.defvjp(_fes_fwd, _fes_bwd)
+

@@ -114,6 +114,83 @@ class TestFoldPrecisionStats:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestFoldEsScore:
+    """The fold-streamed ES consumer (fold_es_score): eps regenerated from
+    counter keys instead of stacked inputs/residuals. Parity reference: the
+    plain-autodiff ES on the SAME eps (rebuilt with the primitive's own
+    per-fold fold_in scheme), so values AND (A, a) cotangents must agree."""
+
+    @staticmethod
+    def _ref_es(A, a, key_data, S, beta):
+        from gpscore.ops.fold_core import _fold_eps
+        from gpscore.scoring.rules import energy_score_core
+
+        La = jnp.linalg.cholesky(A)
+        sol = jax.vmap(
+            lambda L, b: jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        )
+        solT = jax.vmap(
+            lambda L, b: jax.scipy.linalg.solve_triangular(
+                L, b, lower=True, trans=1)
+        )
+        e = solT(La, sol(La, a[..., None]))[..., 0]
+        nb = A.shape[-1]
+        scores = []
+        for f in range(A.shape[0]):
+            eps_f = _fold_eps(key_data, f, nb, S)
+            zT = jax.scipy.linalg.solve_triangular(
+                La[f], eps_f, lower=True, trans=1)
+            scores.append(
+                energy_score_core(zT[:, :S].T, zT[:, S:].T, -e[f], S, beta))
+        return jnp.stack(scores)
+
+    def test_values_and_grads_match_reference(self, rng):
+        from gpscore.ops.fold_core import fold_es_score
+
+        k, nb, S, beta = 3, 16, 9, 1.0
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        kd = jax.random.key_data(jax.random.PRNGKey(7))
+        got = fold_es_score(A, a, kd, S, beta)
+        want = self._ref_es(A, a, kd, S, beta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        w = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+        gn = jax.grad(
+            lambda A_, a_: jnp.sum(w * fold_es_score(A_, a_, kd, S, beta)),
+            argnums=(0, 1),
+        )(A, a)
+        gr = jax.grad(
+            lambda A_, a_: jnp.sum(w * self._ref_es(A_, a_, kd, S, beta)),
+            argnums=(0, 1),
+        )(A, a)
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gn[0])), np.asarray(sym(gr[0])),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(np.asarray(gn[1]), np.asarray(gr[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_objective_dispatches_to_streamed_es(self, rng, monkeypatch):
+        """The large-n es objective routes through kfold_es_fused (finite
+        loss + grads at a lowered fused threshold)."""
+        import gpscore.fit.objectives as objectives
+        from gpscore.fit import make_objective
+
+        monkeypatch.setattr(objectives, "_FUSED_LOO_MIN_N", 64)
+        n, d = 64, 3
+        x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        y = jnp.sin(x.sum(axis=1))
+        from gpscore.utils.params import GPParams
+        p = GPParams(jnp.float32(0.3), jnp.zeros(d), jnp.float32(-0.5))
+        loss = make_objective("es", num_sim=11)
+        v, g = jax.value_and_grad(loss)(p, x, y, jax.random.PRNGKey(0))
+        assert np.isfinite(float(v))
+        assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
+
+
 class TestInplaceFoldFactorization:
     """The potri-style in-place fold Cholesky path (large nb dispatch),
     exercised at toy size by lowering the thresholds, including non-divisible
@@ -239,7 +316,12 @@ class TestFoldStatsObjectives:
         got_v, got_g = jax.value_and_grad(loss)(p, x, y, key)
 
         nb = n // fk
-        eps = jax.random.normal(key, (fk, nb, 2 * S), x.dtype)
+        # the fold-streamed consumer's draw scheme: per-fold counter keys
+        # (gpscore.ops.fold_core._fold_eps), [nb, 2S] columns per fold
+        from gpscore.ops.fold_core import _fold_eps
+
+        kd = jax.random.key_data(key)
+        eps = jnp.stack([_fold_eps(kd, f, nb, S) for f in range(fk)])
 
         def ref(p, x, y):
             K = ard_gram(x, x, p.log_signal_sq, p.log_length)
