@@ -33,6 +33,17 @@ def main(argv=None):
                          "O(n m^2) so the full 9700-row pool is cheap — must "
                          "be divisible by 4 for the fold objectives)")
     ap.add_argument("--n-test", type=int, default=500)
+    ap.add_argument("--segment-iters", type=int, default=None,
+                    help="host-chunk each fit into segments of at most this "
+                         "many GD iterations (full-pool sweeps are "
+                         "multi-minute programs, which the remote TPU "
+                         "tunnel kills; 500 is safe at n=9700)")
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="multiply schedule learning rates. The reference "
+                         "lrs are tuned at n=500; NLML/DSS are per-sum "
+                         "objectives whose gradients scale with n, so at "
+                         "--n-train N use ~500/N for them (same documented "
+                         "deviation as kin40k_full.py)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--matmul", default="highest",
                     choices=["highest", "high", "fast", "bf16", "f16"],
@@ -73,14 +84,18 @@ def main(argv=None):
     schedules = {}
     for r in args.rules:
         s = SCHEDULES[("kin40k_fitc", r)]
-        if args.iters_scale != 1.0:
-            s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)), s.lr, s.lr_inducing)
+        if args.iters_scale != 1.0 or args.lr_scale != 1.0:
+            s = type(s)(s.rule, max(1, int(s.iters * args.iters_scale)),
+                        s.lr * args.lr_scale,
+                        None if s.lr_inducing is None
+                        else s.lr_inducing * args.lr_scale)
         schedules[r] = s
 
     results = run_sweep(
         args.rules, "fitc", schedules, make_data, make_params,
         replicates=args.replicates, d=8,
         save_params_dir=args.save_params,
+        segment_iters=args.segment_iters,
         matmul=args.matmul,
     )
     save_results(results, args.out)

@@ -121,12 +121,39 @@ def main(argv=None):
     ap.add_argument("--skip-eval", action="store_true",
                     help="fit (and optionally save params) without the "
                          "evaluation leg")
+    ap.add_argument("--eval-storage", default="auto",
+                    choices=["auto", "f32", "f16"],
+                    help="predictive-eval buffer dtype: auto = fp32 up to "
+                         "the fp32 n^2 ceiling, f16-stored beyond it; "
+                         "explicit values override (f16 at n <= 61440 is "
+                         "the refinement-validation config)")
+    ap.add_argument("--eval-refine", type=int, default=8,
+                    help="M-preconditioned CG iterations on every 2-byte-"
+                         "stored eval solve (M = the stored inverse; exact "
+                         "K_hat recomputed panel-wise per matvec). 8 "
+                         "returns fp32-grade metrics through a half-memory "
+                         "inverse (RESULTS.md refinement-validation table). "
+                         "0 = the raw 2-byte-grade eval")
     args = ap.parse_args(argv)
 
     if args.n % 4 and any(r in ("dss", "es", "kc") for r in args.rules):
         ap.error("fold rules need --n divisible by 4")
 
     from gpscore.utils.checkpoint import load_pytree, save_pytree
+
+    def eval_config():
+        """(storage, refine) for the chunked predictive: fp32 up to the fp32
+        n^2 ceiling; beyond it an f16-stored inverse with iterative
+        refinement against the exact panel-recomputed K_hat, which returns
+        fp32-grade metrics at half the memory (validated at n = 57,344 where
+        both pipelines run — RESULTS.md refinement-validation table)."""
+        if args.eval_storage == "f32":
+            return None, 0
+        if args.eval_storage == "f16" or (
+            args.matmul in ("bf16", "f16") and args.n > 61440
+        ):
+            return jnp.float16, args.eval_refine
+        return None, 0
 
     x, y, xt, yt = make_data(args.n, args.d, args.n_test)
     results = {}
@@ -151,16 +178,15 @@ def main(argv=None):
                     )
             params = load_pytree(path, params)
             rec = {"n": args.n, "rule": rule, "loaded": path}
-            eval_storage = (
-                jnp.float16
-                if args.matmul in ("bf16", "f16") and args.n > 61440
-                else None
-            )
+            eval_storage, eval_refine = eval_config()
             pred = jax.jit(
                 lambda xx, yy, xt_, p: exact_predictive_diag_large(
-                    xx, yy, xt_, p, storage=eval_storage)
+                    xx, yy, xt_, p, storage=eval_storage,
+                    refine=eval_refine)
             )(x, y, xt, params)
             m = evaluate_predictive(pred.mean, pred.cov, yt, y)
+            rec["eval_storage"] = "f16" if eval_storage is not None else "f32"
+            rec["eval_refine"] = eval_refine
             rec.update({k: float(v) for k, v in m._asdict().items()})
             results[rule] = rec
             print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
@@ -226,25 +252,23 @@ def main(argv=None):
         # evaluation is exact fp32 up to the fp32 n^2 ceiling (the jitted
         # eval program peaks at ~1 n^2, same as a fit step); past ~62k a
         # 2-byte-storage fit is evaluated through a float16-stored inverse
-        # (half-precision-grade metrics; f16 over bf16 for its 8x finer
-        # mantissa, see gpscore/utils/precision.py — and note f16's own
-        # conditioning onset binds near-unit params above ~57k).
-        eval_storage = (
-            jnp.float16
-            if args.matmul in ("bf16", "f16") and args.n > 61440 else None
-        )
+        # WITH iterative refinement (--eval-refine; fp32-grade metrics at
+        # half the memory — the raw f16 eval shipped a wrong artifact once,
+        # commit f1d876a; f16 over bf16 for its 8x finer mantissa).
+        eval_storage, eval_refine = eval_config()
         # ONE jitted program: executed eagerly, every intermediate of the
         # Gram -> in-place inverse chain materializes (measured 31.6 GB at
         # n = 61,440 vs ~1 n^2 jitted — this, not fit leftovers, was the
         # in-process eval OOM).
         pred = jax.jit(
             lambda xx, yy, xt_, p: exact_predictive_diag_large(
-                xx, yy, xt_, p, storage=eval_storage)
+                xx, yy, xt_, p, storage=eval_storage, refine=eval_refine)
         )(x, y, xt, params)
         m = evaluate_predictive(pred.mean, pred.cov, yt, y)
         rec = {
             "n": args.n, "iters": sched.iters, "lr": sched.lr,
             "matmul": args.matmul,
+            "eval_refine": eval_refine,
             "eval_storage": "f16" if eval_storage is not None else "f32",
             "fit_wall_s": round(wall, 2),
             "s_per_iter_steady": round(steady, 3),

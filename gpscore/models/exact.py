@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gpscore.ops import linalg
 from gpscore.utils.precision import MM_PRECISION, matmul
@@ -85,16 +86,21 @@ def exact_predictive_diag_large(
     - ``storage`` (e.g. bfloat16/float16) halves the n^2 buffer for
       evaluating beyond-fp32-ceiling fits (n > ~62k on 16 GB); plain, the
       metrics are then 2-byte-grade — pass ``refine`` to fix that.
-    - ``refine`` (with ``storage``): iterative-refinement steps on every
-      solve against the 2-byte-stored inverse M ~ K_hat^-1:
-      ``v <- v + M (b - K_hat v)``, with the EXACT fp32 K_hat recomputed
-      panel-wise per step (:func:`~gpscore.ops.potri_inplace.
-      ard_khat_matmul_streamed` — never an n^2 buffer). Each step contracts
-      the solve error by ~||I - M K_hat|| ~ u_storage * kappa(K_hat), so 1-2
-      steps return fp32-grade means/variances through a half-memory inverse
-      (validated in tests/test_posteriors.py and at n = 57,344 on-chip where
-      both pipelines run, RESULTS.md). Cost: +2 n^2 MACs per step per RHS
-      column on top of the 1 n^2 plain chunk solve.
+    - ``refine`` (with ``storage``): preconditioned-CG iterations on every
+      solve, with the 2-byte-stored inverse M ~ K_hat^-1 as preconditioner
+      and the EXACT fp32 K_hat recomputed panel-wise per matvec
+      (:func:`~gpscore.ops.potri_inplace.ard_khat_matmul_streamed` — never
+      an n^2 buffer). Plain Richardson refinement ``v += M (b - K_hat v)``
+      contracts per step by rho = ||I - M K_hat|| ~ u_storage*kappa, which
+      MEASURED 0.76/step at n = 57,344 on a 3-iteration smooth-kernel fit
+      (f16 storage) — 30+ steps to fp32 grade; PCG on the same M converges
+      at ~((sqrt(k)-1)/(sqrt(k)+1)) with k = (1+rho)/(1-rho), ~0.46 here,
+      and degrades gracefully as kappa grows. refine=8 returns fp32-grade
+      means/variances through the half-memory inverse (validated at
+      n = 57,344 against the fp32 pipeline, RESULTS.md refinement table;
+      small-n parity in tests/test_potri_inplace.py). Cost: 2 n^2 MACs per
+      iteration per RHS column (one exact K_hat matvec + one M matvec) on
+      top of the 1 n^2 plain chunk solve.
 
     Peak ~n^2 + O(n * chunk). Not differentiable (evaluation only — training
     goes through the fused LOO/k-fold/NLML cores).
@@ -118,16 +124,42 @@ def exact_predictive_diag_large(
         x_pad, n, block, storage=storage,
     )
 
+    def khat_mul(V):
+        return ard_khat_matmul_streamed(
+            params.log_signal_sq, params.log_length, params.log_noise_sq,
+            x_pad, n, V, block,
+        )
+
+    def precond(R):
+        return matmul_acc32(Kinv, R.astype(Kinv.dtype))
+
     def solve(B):
-        """K_hat^-1 B through the stored inverse, optionally refined."""
-        V = matmul_acc32(Kinv, B.astype(Kinv.dtype))
-        for _ in range(refine if storage is not None else 0):
-            r = B - ard_khat_matmul_streamed(
-                params.log_signal_sq, params.log_length, params.log_noise_sq,
-                x_pad, n, V, block,
-            )
-            V = V + matmul_acc32(Kinv, r.astype(Kinv.dtype))
-        return V
+        """K_hat^-1 B through the stored inverse; with ``refine`` > 0 the
+        M-preconditioned CG recursion (docstring), batched over columns.
+        M's spectral radius bound rho(I - M K_hat) < 1 (the measured
+        Richardson contraction) makes M SPD on K_hat's geometry, so the
+        batched per-column alpha/beta scalars are well-defined; the tiny
+        denominators of already-converged columns are guarded."""
+        B = B.astype(jnp.float32)
+        X = precond(B)
+        if storage is None or refine <= 0:
+            return X
+        R = B - khat_mul(X)
+        Z = precond(R)
+
+        def body(_, carry):
+            X, R, Z, Pd = carry
+            Q = khat_mul(Pd)
+            rz = jnp.sum(R * Z, axis=0)
+            alpha = rz / jnp.maximum(jnp.sum(Pd * Q, axis=0), 1e-30)
+            X = X + alpha[None, :] * Pd
+            R = R - alpha[None, :] * Q
+            Z = precond(R)
+            beta = jnp.sum(R * Z, axis=0) / jnp.maximum(rz, 1e-30)
+            return X, R, Z, Z + beta[None, :] * Pd
+
+        X, _, _, _ = lax.fori_loop(0, refine, body, (X, R, Z, Z))
+        return X
 
     alpha = solve(y_pad.reshape(n_pad, 1))[:, 0]  # K_hat^-1 y, fp32
     signal_sq = jnp.exp(params.log_signal_sq)
