@@ -127,6 +127,15 @@ def main(argv=None):
                          "the fp32 n^2 ceiling, f16-stored beyond it; "
                          "explicit values override (f16 at n <= 61440 is "
                          "the refinement-validation config)")
+    ap.add_argument("--block", type=int, default=2048,
+                    help="fused-core panel width AND eval block (1024 at "
+                         "the 61-86k ceilings: halves the O(n*block) "
+                         "working set next to the n^2 buffer)")
+    ap.add_argument("--eval-chunk", type=int, default=2048,
+                    help="test-column chunk of the streamed predictive. At "
+                         "the 86k ceiling the PCG working set is ~5 fp32 "
+                         "[n, chunk] buffers next to the 14.8 GB stored "
+                         "inverse — use 256-512 there")
     ap.add_argument("--eval-refine", type=int, default=8,
                     help="M-preconditioned CG iterations on every 2-byte-"
                          "stored eval solve (M = the stored inverse; exact "
@@ -155,129 +164,134 @@ def main(argv=None):
             return jnp.float16, args.eval_refine
         return None, 0
 
+    from experiments.bench_ceiling import _thread_block
+
     x, y, xt, yt = make_data(args.n, args.d, args.n_test)
     results = {}
     for rule in args.rules:
-        sched = schedule_for(rule, args.n, args.iters, args.lr_scale)
-        loss = make_objective(rule, model="exact")
-        params = init_unit_params(d=args.d, isotropic=False)
-        key = jax.random.PRNGKey(1)
-        if args.load_params:
-            # Mirror the --save-params convention (per-rule _<rule>.npz
-            # suffix); fall back to a literal path only when it cannot be
-            # ambiguous (single rule).
-            path = f"{args.load_params}_{rule}.npz"
-            if not os.path.exists(path):
-                if len(args.rules) == 1 and os.path.exists(args.load_params):
-                    path = args.load_params
-                else:
-                    ap.error(
-                        f"--load-params: {path} not found (per-rule suffix "
-                        "convention of --save-params; a bare .npz path is "
-                        "only accepted with a single --rules entry)"
-                    )
-            params = load_pytree(path, params)
-            rec = {"n": args.n, "rule": rule, "loaded": path}
-            eval_storage, eval_refine = eval_config()
-            pred = jax.jit(
-                lambda xx, yy, xt_, p: exact_predictive_diag_large(
-                    xx, yy, xt_, p, storage=eval_storage,
-                    refine=eval_refine)
-            )(x, y, xt, params)
-            m = evaluate_predictive(pred.mean, pred.cov, yt, y)
-            rec["eval_storage"] = "f16" if eval_storage is not None else "f32"
-            rec["eval_refine"] = eval_refine
-            rec.update({k: float(v) for k, v in m._asdict().items()})
-            results[rule] = rec
-            print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
-            continue
+      with _thread_block(rule, args.block):
+          sched = schedule_for(rule, args.n, args.iters, args.lr_scale)
+          loss = make_objective(rule, model="exact")
+          params = init_unit_params(d=args.d, isotropic=False)
+          key = jax.random.PRNGKey(1)
+          if args.load_params:
+              # Mirror the --save-params convention (per-rule _<rule>.npz
+              # suffix); fall back to a literal path only when it cannot be
+              # ambiguous (single rule).
+              path = f"{args.load_params}_{rule}.npz"
+              if not os.path.exists(path):
+                  if len(args.rules) == 1 and os.path.exists(args.load_params):
+                      path = args.load_params
+                  else:
+                      ap.error(
+                          f"--load-params: {path} not found (per-rule suffix "
+                          "convention of --save-params; a bare .npz path is "
+                          "only accepted with a single --rules entry)"
+                      )
+              params = load_pytree(path, params)
+              rec = {"n": args.n, "rule": rule, "loaded": path}
+              eval_storage, eval_refine = eval_config()
+              pred = jax.jit(
+                  lambda xx, yy, xt_, p: exact_predictive_diag_large(
+                      xx, yy, xt_, p, storage=eval_storage,
+                      refine=eval_refine, chunk=args.eval_chunk,
+                      block=args.block)
+              )(x, y, xt, params)
+              m = evaluate_predictive(pred.mean, pred.cov, yt, y)
+              rec["eval_storage"] = "f16" if eval_storage is not None else "f32"
+              rec["eval_refine"] = eval_refine
+              rec.update({k: float(v) for k, v in m._asdict().items()})
+              results[rule] = rec
+              print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+              continue
 
-        seg = max(1, min(args.segment_iters, sched.iters))
-        t0 = time.time()
-        with matmul_mode(args.matmul):  # trace-time: affects the fit only
-            # Host-chunked fit with AUTOMATIC 2-byte stall recovery: a
-            # mid-fit conditioning crossover (NaN-frozen parameters) is
-            # detected via FitResult.stall_iters and the lost iterations are
-            # re-run under the auto_recover_mode ladder ("high" below the
-            # fp32 ceiling, else "f16") — no hand-chosen --polish-iters
-            # needed for correctness anymore.
-            res, fit_info = fit_gd_recovering(
-                loss, params, x, y, iters=sched.iters, lr=sched.lr, key=key,
-                segment_iters=seg, verbose=True,
-            )
-        params = res.params
-        losses = np.asarray(res.loss_history).tolist()
-        seg_times = [
-            (s["wall_s"], s["iters"]) for s in fit_info["segments"]
-            if s["mode"] == args.matmul
-        ]
-        if args.polish_iters and args.matmul != "highest":
-            # OPTIONAL exact-precision polish on top of the auto-recovered
-            # fit: extra refinement iterations at "highest" (modes are
-            # trace-time, so this is a separately compiled program) —
-            # host-chunked like the main fit (an unchunked multi-minute
-            # polish program gets killed by the TPU tunnel; CLAUDE.md).
-            pol = [seg] * (args.polish_iters // seg)
-            if args.polish_iters % seg:
-                pol.append(args.polish_iters % seg)
-            pol_fns = {}
-            for s2, it in enumerate(pol):
-                fn = pol_fns.setdefault(it, jax.jit(
-                    lambda p, k, _it=it: fit_gd(
-                        loss, p, x, y, iters=_it, lr=sched.lr, key=k)
-                ))
-                res = fn(params, jax.random.fold_in(key, 50_000 + s2))
-                params = res.params
-                losses.extend(np.asarray(res.loss_history).tolist())
-        wall = time.time() - t0
-        # first segment pays (remote) compilation; steady-state = best segment
-        steady = min(t / it for t, it in seg_times)
+          seg = max(1, min(args.segment_iters, sched.iters))
+          t0 = time.time()
+          with matmul_mode(args.matmul):  # trace-time: affects the fit only
+              # Host-chunked fit with AUTOMATIC 2-byte stall recovery: a
+              # mid-fit conditioning crossover (NaN-frozen parameters) is
+              # detected via FitResult.stall_iters and the lost iterations are
+              # re-run under the auto_recover_mode ladder ("high" below the
+              # fp32 ceiling, else "f16") — no hand-chosen --polish-iters
+              # needed for correctness anymore.
+              res, fit_info = fit_gd_recovering(
+                  loss, params, x, y, iters=sched.iters, lr=sched.lr, key=key,
+                  segment_iters=seg, verbose=True,
+              )
+          params = res.params
+          losses = np.asarray(res.loss_history).tolist()
+          seg_times = [
+              (s["wall_s"], s["iters"]) for s in fit_info["segments"]
+              if s["mode"] == args.matmul
+          ]
+          if args.polish_iters and args.matmul != "highest":
+              # OPTIONAL exact-precision polish on top of the auto-recovered
+              # fit: extra refinement iterations at "highest" (modes are
+              # trace-time, so this is a separately compiled program) —
+              # host-chunked like the main fit (an unchunked multi-minute
+              # polish program gets killed by the TPU tunnel; CLAUDE.md).
+              pol = [seg] * (args.polish_iters // seg)
+              if args.polish_iters % seg:
+                  pol.append(args.polish_iters % seg)
+              pol_fns = {}
+              for s2, it in enumerate(pol):
+                  fn = pol_fns.setdefault(it, jax.jit(
+                      lambda p, k, _it=it: fit_gd(
+                          loss, p, x, y, iters=_it, lr=sched.lr, key=k)
+                  ))
+                  res = fn(params, jax.random.fold_in(key, 50_000 + s2))
+                  params = res.params
+                  losses.extend(np.asarray(res.loss_history).tolist())
+          wall = time.time() - t0
+          # first segment pays (remote) compilation; steady-state = best segment
+          steady = min(t / it for t, it in seg_times)
 
-        if args.save_params:
-            save_pytree(f"{args.save_params}_{rule}.npz", params)
-        recov = {"stall_iters": fit_info["stall_iters"],
-                 "recovery": fit_info["recovery"]}
-        if "unrecovered_iters" in fit_info:
-            recov["unrecovered_iters"] = fit_info["unrecovered_iters"]
-        if args.skip_eval:
-            rec = {"n": args.n, "iters": sched.iters, "lr": sched.lr,
-                   "matmul": args.matmul, "fit_wall_s": round(wall, 2),
-                   "s_per_iter_steady": round(steady, 3),
-                   "loss_first": losses[0], "loss_last": losses[-1],
-                   **recov}
-            results[rule] = rec
-            print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
-            continue
+          if args.save_params:
+              save_pytree(f"{args.save_params}_{rule}.npz", params)
+          recov = {"stall_iters": fit_info["stall_iters"],
+                   "recovery": fit_info["recovery"]}
+          if "unrecovered_iters" in fit_info:
+              recov["unrecovered_iters"] = fit_info["unrecovered_iters"]
+          if args.skip_eval:
+              rec = {"n": args.n, "iters": sched.iters, "lr": sched.lr,
+                     "matmul": args.matmul, "fit_wall_s": round(wall, 2),
+                     "s_per_iter_steady": round(steady, 3),
+                     "loss_first": losses[0], "loss_last": losses[-1],
+                     **recov}
+              results[rule] = rec
+              print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+              continue
 
-        # evaluation is exact fp32 up to the fp32 n^2 ceiling (the jitted
-        # eval program peaks at ~1 n^2, same as a fit step); past ~62k a
-        # 2-byte-storage fit is evaluated through a float16-stored inverse
-        # WITH iterative refinement (--eval-refine; fp32-grade metrics at
-        # half the memory — the raw f16 eval shipped a wrong artifact once,
-        # commit f1d876a; f16 over bf16 for its 8x finer mantissa).
-        eval_storage, eval_refine = eval_config()
-        # ONE jitted program: executed eagerly, every intermediate of the
-        # Gram -> in-place inverse chain materializes (measured 31.6 GB at
-        # n = 61,440 vs ~1 n^2 jitted — this, not fit leftovers, was the
-        # in-process eval OOM).
-        pred = jax.jit(
-            lambda xx, yy, xt_, p: exact_predictive_diag_large(
-                xx, yy, xt_, p, storage=eval_storage, refine=eval_refine)
-        )(x, y, xt, params)
-        m = evaluate_predictive(pred.mean, pred.cov, yt, y)
-        rec = {
-            "n": args.n, "iters": sched.iters, "lr": sched.lr,
-            "matmul": args.matmul,
-            "eval_refine": eval_refine,
-            "eval_storage": "f16" if eval_storage is not None else "f32",
-            "fit_wall_s": round(wall, 2),
-            "s_per_iter_steady": round(steady, 3),
-            "loss_first": losses[0], "loss_last": losses[-1],
-            **recov,
-            **{k: float(v) for k, v in m._asdict().items()},
-        }
-        results[rule] = rec
-        print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
+          # evaluation is exact fp32 up to the fp32 n^2 ceiling (the jitted
+          # eval program peaks at ~1 n^2, same as a fit step); past ~62k a
+          # 2-byte-storage fit is evaluated through a float16-stored inverse
+          # WITH iterative refinement (--eval-refine; fp32-grade metrics at
+          # half the memory — the raw f16 eval shipped a wrong artifact once,
+          # commit f1d876a; f16 over bf16 for its 8x finer mantissa).
+          eval_storage, eval_refine = eval_config()
+          # ONE jitted program: executed eagerly, every intermediate of the
+          # Gram -> in-place inverse chain materializes (measured 31.6 GB at
+          # n = 61,440 vs ~1 n^2 jitted — this, not fit leftovers, was the
+          # in-process eval OOM).
+          pred = jax.jit(
+              lambda xx, yy, xt_, p: exact_predictive_diag_large(
+                  xx, yy, xt_, p, storage=eval_storage, refine=eval_refine,
+                  chunk=args.eval_chunk, block=args.block)
+          )(x, y, xt, params)
+          m = evaluate_predictive(pred.mean, pred.cov, yt, y)
+          rec = {
+              "n": args.n, "iters": sched.iters, "lr": sched.lr,
+              "matmul": args.matmul,
+              "eval_refine": eval_refine,
+              "eval_storage": "f16" if eval_storage is not None else "f32",
+              "fit_wall_s": round(wall, 2),
+              "s_per_iter_steady": round(steady, 3),
+              "loss_first": losses[0], "loss_last": losses[-1],
+              **recov,
+              **{k: float(v) for k, v in m._asdict().items()},
+          }
+          results[rule] = rec
+          print(f"[{rule}] {json.dumps(rec, sort_keys=True)}", flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -134,32 +134,51 @@ def exact_predictive_diag_large(
         return matmul_acc32(Kinv, R.astype(Kinv.dtype))
 
     def solve(B):
-        """K_hat^-1 B through the stored inverse; with ``refine`` > 0 the
-        M-preconditioned CG recursion (docstring), batched over columns.
-        M's spectral radius bound rho(I - M K_hat) < 1 (the measured
-        Richardson contraction) makes M SPD on K_hat's geometry, so the
-        batched per-column alpha/beta scalars are well-defined; the tiny
-        denominators of already-converged columns are guarded."""
+        """K_hat^-1 B through the stored inverse; with ``refine`` > 0 a
+        SAFEGUARDED M-preconditioned CG recursion (docstring), batched over
+        columns. The 2-byte-stored M can be mildly indefinite at the very
+        top of the size range (measured at n = 86,016: one mean-solve
+        iteration produced rz < 0 yet plain CG converged ||R|| 66 -> 0.05
+        by iter 5 — negative-rz steps must be TAKEN, not masked; masking
+        them stalls the column permanently since the restart direction
+        Z = M R reproduces the same rz). What does explode is a roundoff
+        pq <= 0 on a converged column (K_hat is SPD, so pq > 0 up to
+        noise): alpha = rz/clamped-pq blows up to NaN and poisons the
+        column — measured as the all-NaN 86k eval. So: pq <= 0 / non-finite
+        iterations are masked per column, and the returned iterate is the
+        best-residual one, never worse than the plain M b solve."""
         B = B.astype(jnp.float32)
         X = precond(B)
         if storage is None or refine <= 0:
             return X
         R = B - khat_mul(X)
         Z = precond(R)
+        rb = jnp.sum(R * R, axis=0)
 
         def body(_, carry):
-            X, R, Z, Pd = carry
+            X, R, Z, Pd, Xb, rb = carry
             Q = khat_mul(Pd)
             rz = jnp.sum(R * Z, axis=0)
-            alpha = rz / jnp.maximum(jnp.sum(Pd * Q, axis=0), 1e-30)
+            pq = jnp.sum(Pd * Q, axis=0)
+            ok = (pq > 1e-30) & jnp.isfinite(pq) & jnp.isfinite(rz)
+            alpha = jnp.where(ok, rz / jnp.where(ok, pq, 1.0), 0.0)
             X = X + alpha[None, :] * Pd
             R = R - alpha[None, :] * Q
             Z = precond(R)
-            beta = jnp.sum(R * Z, axis=0) / jnp.maximum(rz, 1e-30)
-            return X, R, Z, Z + beta[None, :] * Pd
+            rz2 = jnp.sum(R * Z, axis=0)
+            okb = ok & (jnp.abs(rz) > 1e-30) & jnp.isfinite(rz2)
+            beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
+            Pd = Z + beta[None, :] * Pd
+            rn = jnp.sum(R * R, axis=0)
+            better = rn < rb
+            Xb = jnp.where(better[None, :], X, Xb)
+            rb = jnp.where(better, rn, rb)
+            return X, R, Z, Pd, Xb, rb
 
-        X, _, _, _ = lax.fori_loop(0, refine, body, (X, R, Z, Z))
-        return X
+        _, _, _, _, Xb, _ = lax.fori_loop(
+            0, refine, body, (X, R, Z, Z, X, rb)
+        )
+        return Xb
 
     alpha = solve(y_pad.reshape(n_pad, 1))[:, 0]  # K_hat^-1 y, fp32
     signal_sq = jnp.exp(params.log_signal_sq)
