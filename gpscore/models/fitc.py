@@ -182,6 +182,14 @@ def fitc_predictive(x, y, x_star, params, *, kind: str = "ard") -> Gaussian:
         + K_ss
         - matmul(V_s, matmul(vbv, V_s.T))
     )
+    # Roundoff guard: in exact arithmetic every FITC predictive variance is
+    # >= noise_sq (the Nystrom deficit k** - q** is PSD, and Q* B^-1 Q*^T
+    # <= q**), but the C - C M^-1 C cancellation above can push a few
+    # diagonal entries below it at large m (measured: m = 256 full-pool DSS
+    # fit, a handful of negative variances -> NaN test CRPS/logs). Clamp
+    # the diagonal to the bound; off-diagonals are untouched.
+    d = jnp.diagonal(cov)
+    cov = cov + jnp.diag(jnp.maximum(params.noise_sq - d, 0.0))
     return Gaussian(mean, cov)
 
 

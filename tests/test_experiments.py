@@ -149,3 +149,31 @@ def test_bench_ceiling_driver_cpu(monkeypatch):
         assert rec["grad_cos"] > 0.99
     assert (exact_mod.loo_exact_fused, exact_mod.nlml_exact_fused,
             exact_mod.kfold_stats_fused) == orig
+
+
+def test_bench_sharded_driver_cpu():
+    """experiments/bench_sharded.py end to end on the 8-device CPU mesh:
+    step factory dispatch, timing loop, HLO collective structure parse, the
+    analytic ICI-traffic model, and the p-chip projection arithmetic."""
+    from experiments.bench_sharded import (
+        analytic_collective_bytes,
+        main,
+        projected_step_s,
+    )
+
+    rec = main(["--n", "256", "--d", "2", "--block", "32", "--devices", "8",
+                "--repeats", "1", "--hlo-collectives", "--project", "8"])
+    assert np.isfinite(rec["loss"]) and rec["step_s"] >= 0
+    # XLA emitted the stage psums: at least one all-reduce in the module
+    assert rec["static_collective_bytes"] > 0
+    assert rec["static_collective_bytes_by_op"].get("all-reduce", 0) > 0
+    # analytic model: fwd n^2(2e+4) + pivot psums + bwd 4n^2/p (fp32, crps)
+    n, b, p = 256, 32, 8
+    want = (12 * n * n + 4 * (n // b) * b * b) + 4 * n * n // p
+    assert rec["analytic_collective_bytes"] == want
+    assert rec["projected_step_s"] == round(
+        projected_step_s(rec["step_s"] * 8, 8,
+                         rec["analytic_collective_bytes"], 45.0), 3)
+    # kfold adds the KB_fold psum term
+    kf = analytic_collective_bytes(n, b, p, "dss", 4)
+    assert kf["analytic_collective_bytes"] == want + 4 * n * n

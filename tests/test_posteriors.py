@@ -175,6 +175,34 @@ def test_fitc_predictive_vs_oracle(rng):
     np.testing.assert_allclose(np.asarray(got.cov), want_c, atol=2e-5)
 
 
+def test_fitc_predictive_variance_floored_at_noise(rng):
+    """Every FITC predictive variance is >= noise_sq in exact arithmetic
+    (Nystrom deficit is PSD); the large-m C - C M^-1 C cancellation can
+    push diagonal entries below it in fp32 (measured: m=256 full-pool DSS
+    fit -> a few negative variances -> NaN test CRPS). The clamp pins the
+    bound so sqrt-based metrics stay finite at any m."""
+    from gpscore.utils.params import GPParams
+
+    n, m, d, t = 128, 96, 3, 33
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.sin(x.sum(axis=1))
+    xs = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+    # long lengthscales + tiny noise: the high-kappa regime that produced
+    # the measured negatives
+    p = GPParams(
+        log_signal_sq=jnp.float32(1.0),
+        log_length=jnp.ones(d) * 1.5,
+        log_noise_sq=jnp.float32(-9.0),
+        inducing=x[:m] + 0.01 * jnp.asarray(
+            rng.standard_normal((m, d)).astype(np.float32)),
+    )
+    pred = fitc_predictive(x, y, xs, p)
+    var = np.asarray(jnp.diagonal(pred.cov))
+    assert np.all(np.isfinite(var))
+    # the clamp lands on noise_sq up to one fp32 rounding of d + (noise - d)
+    assert np.all(var >= float(p.noise_sq) * (1.0 - 1e-3))
+
+
 def test_fitc_nlml_vs_oracle(rng):
     x, y, lsig, llen, noise_sq = _problem(rng)
     p = _fitc_params(rng).replace(
