@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from gpscore.ops import potri_inplace
-from gpscore.utils.precision import matmul, matmul_crit, mm_precision
+from gpscore.utils.precision import matmul_crit, mm_precision
 
 
 class FoldStats(NamedTuple):
@@ -165,27 +165,36 @@ def _pad_blockdiag_identity(A, nb_pad):
 
 
 def _fold_chol_inv(A):
-    """(La, Li, half_logdet) for batched SPD A [k, nb, nb], padded to a
+    """(Li, half_logdet) for batched SPD A [k, nb, nb], padded to a
     multiple of the panel width when the in-place pipeline engages.
 
-    Returned factors are [k, nb_pad, nb_pad] with blockdiag(·, I) padding
-    (chol(blockdiag(A, I)) = blockdiag(chol(A), I), so the real block is
-    exact and every padded diagonal entry is 1 — log-dets contribute 0 from
-    the pads). Factors come back in A's dtype; under reduced storage
-    (f16/bf16 fold blocks from the 2-byte-stored fused core) each fold is
-    upcast, factored, and inverted in fp32 ONE AT A TIME — per-fold fp32
-    transients instead of three [k, nb, nb] fp32 stacks — and the half
+    The returned factor inverse is [k, nb_pad, nb_pad] with blockdiag(·, I)
+    padding (chol(blockdiag(A, I)) = blockdiag(chol(A), I), so the real
+    block is exact and every padded diagonal entry is 1 — log-dets
+    contribute 0 from the pads). Li comes back in A's dtype; under reduced
+    storage (f16/bf16 fold blocks from the 2-byte-stored fused core) each
+    fold is upcast, factored, and inverted in fp32 ONE AT A TIME — per-fold
+    fp32 transients instead of three [k, nb, nb] fp32 stacks — and the half
     log-det is captured from the fp32 factor before the rounding-on-store.
-    """
-    from gpscore.ops.block_cholesky import tri_inverse_lower
 
+    Buffer discipline (the fold-rule ceiling, RESULTS.md): Li REUSES the
+    padded A stack — each fold's inverse is written back over the fold block
+    it came from through one dynamic-update-slice chain (slot f is read
+    before it is written; later folds read untouched slots), so the fold
+    blocks and the factor inverses never coexist. Per fold, the
+    factorization (potri_inplace.chol_inplace_fori, bounded trace,
+    exactly-zero strict upper) and the triangular inversion
+    (potri_inplace._tri_inv_inplace) both run IN PLACE on the single fp32
+    upcast — one [nb_pad, nb_pad] fp32 transient, where the
+    factor-then-out-of-place-invert form held three.
+    """
     f32 = jnp.float32
     st = A.dtype
     nb = A.shape[-1]
     if nb < _INPLACE_MIN_NB:
         La32 = jnp.linalg.cholesky(A.astype(f32))
         hld = jnp.sum(jnp.log(jnp.diagonal(La32, axis1=-2, axis2=-1)), -1)
-        return La32.astype(st), _batched_tri_inv(La32).astype(st), hld
+        return _batched_tri_inv(La32).astype(st), hld
     b = _CHOL_BLOCK
     nb_pad = -(-nb // b) * b
     Ap = _pad_blockdiag_identity(A, nb_pad)
@@ -196,21 +205,24 @@ def _fold_chol_inv(A):
     # full n^2 relayout copy of K^-1 next to K^-1 itself (read the measured
     # layout story in the module docstring); the transpose absorbs the flip
     # as a bitcast at the fold-block boundary instead.
-    ApT = jnp.swapaxes(Ap, -1, -2)
-    fori = nb_pad // b >= potri_inplace._FORI_MIN_PANELS
-    Las, Lis, hlds = [], [], []
+    # Materialize the (transposed, padded) fold blocks behind a barrier:
+    # without it XLA fuses the extraction slices into the per-fold chains,
+    # which pins the fused core's whole n^2 K^-1 alive across the fold
+    # factorizations (measured on the remote compiler: the dss n=65,536 f16
+    # forward peaked at 16.55 GB with extraction-only at ~10.7).
+    buf = jax.lax.optimization_barrier(jnp.swapaxes(Ap, -1, -2))
+    hlds = []
     for f in range(A.shape[0]):
-        Af = ApT[f].astype(f32)
-        if fori:
-            # bounded-trace stage (compile wall; potri_inplace fori notes)
-            La_f, hld_f = potri_inplace.chol_inplace_fori(Af, b)
-        else:
-            La_f = _chol_inplace_2d(Af, b)
-            hld_f = jnp.sum(jnp.log(jnp.diagonal(La_f)))
-        Las.append(La_f.astype(st))
-        Lis.append(tri_inverse_lower(La_f).astype(st))
+        Af = buf[f].astype(f32)
+        La_f = _chol_inplace_2d(Af, b)  # unrolled: the fori while-loop
+        # carry double-buffers +nb_pad^2 fp32 on the remote compiler
+        hld_f = jnp.sum(jnp.log(jnp.diagonal(La_f)))
+        Li_f = potri_inplace._tri_inv_inplace(La_f, b)
+        buf = jax.lax.dynamic_update_slice(
+            buf, Li_f.astype(st)[None], (f, 0, 0)
+        )
         hlds.append(hld_f)
-    return jnp.stack(Las), jnp.stack(Lis), jnp.stack(hlds)
+    return buf, jnp.stack(hlds)
 
 
 def _zero_pad_cols(v, nb_pad):
@@ -230,8 +242,7 @@ def _stats_forward(A, a, eps, want_inv_diag):
     f32 = jnp.float32
     st = A.dtype
     nb = a.shape[-1]
-    La, Li, half_logdet = _fold_chol_inv(A)
-    del La  # hld captured fp32 inside the factorization; nothing else reads it
+    Li, half_logdet = _fold_chol_inv(A)
     nb_pad = Li.shape[-1]
     a_p = _zero_pad_cols(a, nb_pad).astype(st)
     # The batched matvecs sit behind optimization_barriers: XLA otherwise
@@ -287,14 +298,22 @@ def _phi(X):
 
 def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
     """Shared closed-form fold adjoints (module docstring math), computed
-    FOLD BY FOLD, serialized through A_bar's dynamic-update-slice chain.
+    FOLD BY FOLD, serialized through A_bar's dynamic-update-slice chain —
+    which REUSES Li's buffer: fold f's A_bar block overwrites the factor
+    inverse it was computed from (Lf is dead once its adjoint is written;
+    later folds read untouched slots), so the factor stack and the cotangent
+    stack never coexist.
 
     Batched, the adjoint held Ainv, the rank-1/diag sandwich temps, and (for
     ES) H/P/(P+P^T) as [k, nb, nb] stacks next to A_bar — ~3-4 n^2/k live.
-    Per fold only one [nb_pad, nb_pad] fp32 working set exists at a time,
-    and with reduced-storage Li (f16/bf16 fold factors) every contraction
-    runs fp32-accumulating off the 2-byte operands (_dot32), so the adjoint
-    never materializes an upcast stack either.
+    Per fold only one persistent [nb_pad, nb_pad] fp32 working set exists at
+    a time (Af_bar; A^-1 is never materialized — u = A^-1 e_bar runs as the
+    two factor matvecs Li^T (Li e_bar), the half-log-det term seeds Af_bar
+    directly as the Li^T Li GEMM, and the inv-diag term is the factored
+    sandwich Li^T (Li D Li^T) Li), and with reduced-storage Li (f16/bf16
+    fold factors) every contraction runs fp32-accumulating off the 2-byte
+    operands (_dot32), so the adjoint never materializes an upcast stack
+    either.
 
     Returns (A_bar [k, nb, nb] in Li's dtype, a_bar [k, nb] fp32,
     eps_bar fp32) from the factor inverse Li [k, nb_pad, nb_pad] and the
@@ -317,21 +336,30 @@ def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
         eps_p = _zero_pad_cols(eps, nb_pad).astype(st)
         Y_bar = _zero_pad_cols(jnp.swapaxes(z_bar, -1, -2), nb_pad)
 
-    A_bar = jnp.zeros((k, nb_pad, nb_pad), st)
+    A_bar = Li  # slot f holds Li[f] until fold f's adjoint overwrites it
     a_bar_rows, eps_bar_rows = [], []
     for f in range(k):
-        Lf = Li[f]
-        Ainv_f = _dot32(Lf.T, Lf)  # [nb_pad, nb_pad] fp32
-        # barriered matvec — see _stats_forward note
-        u = matmul(
-            Ainv_f, jax.lax.optimization_barrier(e_bar_p[f])[:, None]
-        )[:, 0]
+        Lf = A_bar[f]
+        # u = A^-1 e_bar = Li^T (Li e_bar): two barriered factor matvecs
+        # (see _stats_forward note on the barriers) instead of a
+        # materialized [nb_pad, nb_pad] fp32 A^-1.
+        t = _dot32(
+            Lf, jax.lax.optimization_barrier(e_bar_p[f]).astype(st)[:, None]
+        )
+        u = _dot32(Lf.T, jax.lax.optimization_barrier(t).astype(st))[:, 0]
         u = jax.lax.optimization_barrier(u)
         a_bar_rows.append(u[:nb])
-        Af_bar = -_sym(u[:, None] * e_p[f][None, :])
-        Af_bar = Af_bar + 0.5 * hld_bar[f] * Ainv_f
+        # (hld_bar/2) A^-1 is the one full-matrix term — emit it directly as
+        # the Af_bar seed so the GEMM output IS the accumulator.
+        Af_bar = (0.5 * hld_bar[f]) * _dot32(Lf.T, Lf)
+        Af_bar = Af_bar - _sym(u[:, None] * e_p[f][None, :])
         if want_inv_diag:
-            Af_bar = Af_bar - matmul(Ainv_f * d_bar_p[f][None, :], Ainv_f)
+            # A^-1 diag(d) A^-1 = Li^T (Li D Li^T) Li — sequential [nb, nb]
+            # GEMM temps instead of a persistent A^-1 operand.
+            B = _dot32(Lf * d_bar_p[f].astype(st)[None, :], Lf.T)
+            Af_bar = Af_bar - _dot32(
+                Lf.T, _dot32(B.astype(st), Lf).astype(st)
+            )
         if S:
             # z = La^-T eps (columns of eps are draws). The naive chain
             #   M_bar = z_bar^T eps^T -> La_bar = tril(-La^-T M_bar^T La^-T)
@@ -426,7 +454,7 @@ def _fes_forward(A, a, key_data, num_sim, beta):
     f32 = jnp.float32
     st = A.dtype
     nb = a.shape[-1]
-    _, Li, _ = _fold_chol_inv(A)
+    Li, _ = _fold_chol_inv(A)
     nb_pad = Li.shape[-1]
     a_p = _zero_pad_cols(a, nb_pad).astype(st)
     # barriered matvecs — see _stats_forward note
@@ -458,10 +486,12 @@ def _fes_bwd(num_sim, beta, res, s_bar):
     nb = e.shape[-1]
     e_p = _zero_pad_cols(e, nb_pad)
 
-    A_bar = jnp.zeros((k, nb_pad, nb_pad), st)
+    # A_bar's DUS chain reuses Li's buffer (fold f's adjoint overwrites the
+    # factor inverse it was computed from — see _fold_adjoints).
+    A_bar = Li
     a_bar_rows = []
     for f in range(k):
-        Lf = Li[f]
+        Lf = A_bar[f]
         eps_f = _fold_eps(key_data, f, nb_pad, num_sim).astype(st)
         zT = _dot32(Lf.T, eps_f)[:nb]
         # score adjoints w.r.t. (z columns, e) — autodiff of the small rule
@@ -471,11 +501,13 @@ def _fes_bwd(num_sim, beta, res, s_bar):
         )
         zT_bar, e_bar_f = vjp_fn(s_bar[f])
 
-        Ainv_f = _dot32(Lf.T, Lf)  # [nb_pad, nb_pad] fp32
+        # u = A^-1 e_bar = Li^T (Li e_bar): factor matvecs, no materialized
+        # A^-1 (see _fold_adjoints).
         e_bar_p = jnp.zeros((nb_pad,), f32).at[:nb].set(e_bar_f)
-        u = matmul(
-            Ainv_f, jax.lax.optimization_barrier(e_bar_p)[:, None]
-        )[:, 0]
+        t = _dot32(
+            Lf, jax.lax.optimization_barrier(e_bar_p).astype(st)[:, None]
+        )
+        u = _dot32(Lf.T, jax.lax.optimization_barrier(t).astype(st))[:, 0]
         u = jax.lax.optimization_barrier(u)
         a_bar_rows.append(u[:nb])
         Af_bar = -_sym(u[:, None] * e_p[f][None, :])
