@@ -196,17 +196,17 @@ class TestInplaceFoldFactorization:
     exercised at toy size by lowering the thresholds, including non-divisible
     nb (identity-padded factors)."""
 
-    # nb=12: pad 12 -> 16 with block 8; fori=True exercises the
-    # bounded-trace chol_inplace_fori dispatch inside _fold_chol_inv
-    @pytest.mark.parametrize("nb,fori", [(16, False), (12, False), (16, True)])
-    def test_values_and_vjp_match_reference(self, rng, monkeypatch, nb, fori):
+    # nb=12: pad 12 -> 16 with block 8 (identity-padded factors). The
+    # in-place chain is buffer-reusing: each fold's factor inverse
+    # overwrites its fold block, each cotangent overwrites its factor —
+    # parity here guards the read-before-write discipline of those DUS
+    # chains as much as the math.
+    @pytest.mark.parametrize("nb", [16, 12])
+    def test_values_and_vjp_match_reference(self, rng, monkeypatch, nb):
         import gpscore.ops.fold_core as fc
-        import gpscore.ops.potri_inplace as pp
 
         monkeypatch.setattr(fc, "_INPLACE_MIN_NB", 1)
         monkeypatch.setattr(fc, "_CHOL_BLOCK", 8)
-        if fori:
-            monkeypatch.setattr(pp, "_FORI_MIN_PANELS", 1)
         k, S = 3, 5
         A = _spd_batch(rng, k, nb)
         a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
@@ -241,6 +241,70 @@ class TestInplaceFoldFactorization:
             np.testing.assert_allclose(
                 np.asarray(gn[i]), np.asarray(gr[i]), rtol=5e-4, atol=5e-4
             )
+
+
+    @staticmethod
+    def _ref_es_padded(A, a, key_data, S, beta, nb_pad):
+        """TestFoldEsScore._ref_es, but drawing eps at the in-place path's
+        padded width (the primitive's draw shape is [nb_pad, 2S]; rows >= nb
+        are draw-padding that never leaks into real z rows)."""
+        from gpscore.ops.fold_core import _fold_eps
+        from gpscore.scoring.rules import energy_score_core
+
+        La = jnp.linalg.cholesky(A)
+        sol = jax.vmap(
+            lambda L, b: jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        )
+        solT = jax.vmap(
+            lambda L, b: jax.scipy.linalg.solve_triangular(
+                L, b, lower=True, trans=1)
+        )
+        e = solT(La, sol(La, a[..., None]))[..., 0]
+        nb = A.shape[-1]
+        scores = []
+        for f in range(A.shape[0]):
+            eps_f = _fold_eps(key_data, f, nb_pad, S)[:nb]
+            zT = jax.scipy.linalg.solve_triangular(
+                La[f], eps_f, lower=True, trans=1)
+            scores.append(
+                energy_score_core(zT[:, :S].T, zT[:, S:].T, -e[f], S, beta))
+        return jnp.stack(scores)
+
+    @pytest.mark.parametrize("nb", [16, 12])
+    def test_es_values_and_grads_inplace(self, rng, monkeypatch, nb):
+        """fold_es_score through the in-place dispatch (its forward and
+        backward run the same buffer-reusing per-fold chains)."""
+        import gpscore.ops.fold_core as fc
+        from gpscore.ops.fold_core import fold_es_score
+
+        monkeypatch.setattr(fc, "_INPLACE_MIN_NB", 1)
+        monkeypatch.setattr(fc, "_CHOL_BLOCK", 8)
+        k, S, beta = 3, 9, 1.0
+        nb_pad = -(-nb // 8) * 8
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        kd = jax.random.key_data(jax.random.PRNGKey(7))
+        ref = lambda A_, a_: self._ref_es_padded(A_, a_, kd, S, beta, nb_pad)
+        got = fold_es_score(A, a, kd, S, beta)
+        want = ref(A, a)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        w = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+        gn = jax.grad(
+            lambda A_, a_: jnp.sum(w * fold_es_score(A_, a_, kd, S, beta)),
+            argnums=(0, 1),
+        )(A, a)
+        gr = jax.grad(
+            lambda A_, a_: jnp.sum(w * ref(A_, a_)), argnums=(0, 1)
+        )(A, a)
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gn[0])), np.asarray(sym(gr[0])),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(np.asarray(gn[1]), np.asarray(gr[1]),
+                                   rtol=2e-4, atol=2e-4)
 
 
 class TestReducedStorageFoldBlocks:
