@@ -514,12 +514,36 @@ def _fes_bwd(num_sim, beta, res, s_bar):
         # collapsed sample-path Cholesky VJP (see _fold_adjoints): with
         # Y_bar = zT_bar padded, G = La^-1 z_bar^T = Li Y_bar,
         # P = -Phi(eps G^T), A_bar += 1/2 La^-T (P + P^T) La^-1 — assembled
-        # via the one-temp sandwich T = La^-T P La^-1.
+        # via the one-temp sandwich T = La^-T P La^-1. H = eps G^T is rank
+        # 2S, so Phi(H) Li is STREAMED in row strips: per strip one
+        # [sb, nb_pad] fp32 H block (the Phi mask is applied with global-row
+        # iotas) feeding a fp32-accumulating GEMM into a storage-dtype W1 —
+        # the full-H form held H, W1 fp32 [nb_pad, nb_pad] next to T and
+        # Af_bar, which is what kept ES one size below dss/kc at the 2-byte
+        # ceiling (es n=73,728 OOMed by 2.04 GB with dss/kc green).
         Y_bar = jnp.zeros((nb_pad, 2 * num_sim), f32).at[:nb].set(zT_bar)
         G = _dot32(Lf, Y_bar.astype(st))  # [nb_pad, 2S] fp32
-        H = _dot32(eps_f, G.astype(st).T)  # eps G^T, fp32
-        W1 = _dot32(_phi(H).astype(st), Lf)
-        T = _dot32(Lf.T, W1.astype(st))
+        GT = jax.lax.optimization_barrier(G.astype(st)).T
+        sb = (
+            _CHOL_BLOCK
+            if nb_pad > _CHOL_BLOCK and nb_pad % _CHOL_BLOCK == 0
+            else nb_pad
+        )
+        jj = jax.lax.iota(jnp.int32, nb_pad)[None, :]
+        W1 = jnp.zeros((nb_pad, nb_pad), st)
+        for r0 in range(0, nb_pad, sb):
+            Hr = _dot32(
+                jax.lax.slice_in_dim(eps_f, r0, r0 + sb, axis=0), GT
+            )  # [sb, nb_pad] strip of eps G^T, fp32
+            gi = (r0 + jax.lax.iota(jnp.int32, sb))[:, None]
+            Hr = jnp.where(
+                jj < gi, Hr, jnp.where(jj == gi, 0.5 * Hr, 0.0)
+            )  # Phi: lower triangle, halved diagonal (global rows)
+            W1r = _dot32(Hr.astype(st), Lf)
+            W1 = jax.lax.dynamic_update_slice(
+                W1, W1r.astype(st), (r0, 0)
+            )
+        T = _dot32(Lf.T, jax.lax.optimization_barrier(W1))
         Af_bar = Af_bar - 0.5 * (T + T.T)
         A_bar = jax.lax.dynamic_update_slice(
             A_bar, Af_bar.astype(st)[None], (f, 0, 0)
