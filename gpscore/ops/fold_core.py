@@ -105,6 +105,25 @@ _INPLACE_MIN_NB = 2048
 _CHOL_BLOCK = 2048
 
 
+def _panel_width(nb: int):
+    """(leaf width, padded width) for the in-place fold pipeline: the widest
+    of _CHOL_BLOCK / its half / its quarter that DIVIDES nb wins, with zero
+    padding; _CHOL_BLOCK with round-up padding only when none divides.
+
+    Padding is not a rounding detail at these sizes — at n = 69,632 the fold
+    width 17,408 = 17 * 1024, and padding it to the 2048 grid costs a
+    [k, 18432, 18432] factor buffer (+0.27 GB over the unpadded one) plus a
+    2.26 GB ``A_bar[:, :nb, :nb]`` slice COPY in every fold backward (the
+    slice is an identity no-op exactly when nb == nb_pad). Narrower leaves
+    trade a longer panel chain for that; the 1024/512 leaves sit below the
+    measured expander-temp knee either way."""
+    blk = _CHOL_BLOCK
+    for cand in (blk, blk // 2, blk // 4):
+        if cand and nb % cand == 0:
+            return cand, nb
+    return blk, -(-nb // blk) * blk
+
+
 def _batched_tri_inv(La):
     """La^-1 for batched lower-triangular La [k, nb, nb] via the solve
     expander — the small-nb path only (:func:`_fold_chol_inv` is the one
@@ -165,8 +184,11 @@ def _pad_blockdiag_identity(A, nb_pad):
 
 
 def _fold_chol_inv(A):
-    """(Li, half_logdet) for batched SPD A [k, nb, nb], padded to a
-    multiple of the panel width when the in-place pipeline engages.
+    """(Li, half_logdet) for batched SPD A [k, nb, nb]; when the in-place
+    pipeline engages the panel width is the widest of _CHOL_BLOCK and its
+    half/quarter that divides nb (:func:`_panel_width` — zero padding at
+    every measured ceiling size), padding to the _CHOL_BLOCK grid only
+    when none divides.
 
     The returned factor inverse is [k, nb_pad, nb_pad] with blockdiag(·, I)
     padding (chol(blockdiag(A, I)) = blockdiag(chol(A), I), so the real
@@ -195,8 +217,7 @@ def _fold_chol_inv(A):
         La32 = jnp.linalg.cholesky(A.astype(f32))
         hld = jnp.sum(jnp.log(jnp.diagonal(La32, axis1=-2, axis2=-1)), -1)
         return _batched_tri_inv(La32).astype(st), hld
-    b = _CHOL_BLOCK
-    nb_pad = -(-nb // b) * b
+    b, nb_pad = _panel_width(nb)
     Ap = _pad_blockdiag_identity(A, nb_pad)
     # Feed the chain the TRANSPOSED (identical, A is symmetric) blocks: the
     # factorization leaves prefer column-major operands, and without the
@@ -350,7 +371,10 @@ def _fold_adjoints(Li, e, eps, cot, want_inv_diag, nb):
         u = jax.lax.optimization_barrier(u)
         a_bar_rows.append(u[:nb])
         # (hld_bar/2) A^-1 is the one full-matrix term — emit it directly as
-        # the Af_bar seed so the GEMM output IS the accumulator.
+        # the Af_bar seed so the GEMM output IS the accumulator. (Measured
+        # negative result: accumulating Af_bar/B in the storage dtype left
+        # the dss bf16 n=73,728 OOM byte-identical — this path's peak is in
+        # the unchanged forward — so the fp32 transients stay.)
         Af_bar = (0.5 * hld_bar[f]) * _dot32(Lf.T, Lf)
         Af_bar = Af_bar - _sym(u[:, None] * e_p[f][None, :])
         if want_inv_diag:
@@ -510,7 +534,16 @@ def _fes_bwd(num_sim, beta, res, s_bar):
         u = _dot32(Lf.T, jax.lax.optimization_barrier(t).astype(st))[:, 0]
         u = jax.lax.optimization_barrier(u)
         a_bar_rows.append(u[:nb])
-        Af_bar = -_sym(u[:, None] * e_p[f][None, :])
+        # Af_bar accumulates IN THE STORAGE DTYPE (fp32-mode behavior
+        # unchanged): A_bar is stored at st grade anyway, and the fp32
+        # accumulator was a [nb_pad, nb_pad] fp32 transient per fold — at
+        # nb = 18,432 (n = 73,728) the fp32 Af_bar/T/symmetrization trio
+        # held ~4 GB next to the 10.12 GB K^-1. Measured: the st trio cut
+        # the es f16 73,728 OOM 2.04 G -> 0.96 G (still over — the rest is
+        # allocator fragmentation, 43% in the OOM report; at 69,632 the
+        # A_bar[:, :nb, :nb] pad-slice copy adds 2.26 G, so the es ceiling
+        # stays 65,536 while dss/kc run 73,728).
+        Af_bar = (-_sym(u[:, None] * e_p[f][None, :])).astype(st)
         # collapsed sample-path Cholesky VJP (see _fold_adjoints): with
         # Y_bar = zT_bar padded, G = La^-1 z_bar^T = Li Y_bar,
         # P = -Phi(eps G^T), A_bar += 1/2 La^-T (P + P^T) La^-1 — assembled
@@ -524,11 +557,8 @@ def _fes_bwd(num_sim, beta, res, s_bar):
         Y_bar = jnp.zeros((nb_pad, 2 * num_sim), f32).at[:nb].set(zT_bar)
         G = _dot32(Lf, Y_bar.astype(st))  # [nb_pad, 2S] fp32
         GT = jax.lax.optimization_barrier(G.astype(st)).T
-        sb = (
-            _CHOL_BLOCK
-            if nb_pad > _CHOL_BLOCK and nb_pad % _CHOL_BLOCK == 0
-            else nb_pad
-        )
+        sbw, sp = _panel_width(nb_pad)
+        sb = sbw if (sp == nb_pad and nb_pad > sbw) else nb_pad
         jj = jax.lax.iota(jnp.int32, nb_pad)[None, :]
         W1 = jnp.zeros((nb_pad, nb_pad), st)
         for r0 in range(0, nb_pad, sb):
@@ -543,8 +573,11 @@ def _fes_bwd(num_sim, beta, res, s_bar):
             W1 = jax.lax.dynamic_update_slice(
                 W1, W1r.astype(st), (r0, 0)
             )
-        T = _dot32(Lf.T, jax.lax.optimization_barrier(W1))
-        Af_bar = Af_bar - 0.5 * (T + T.T)
+        # T in the storage dtype too: the fp32 GEMM output is rounded once
+        # (the same grade the final A_bar store applies), and T + T^T runs
+        # as a 2-byte elementwise chain fused into the subtraction.
+        T = _dot32(Lf.T, jax.lax.optimization_barrier(W1)).astype(st)
+        Af_bar = Af_bar - jnp.asarray(0.5, st) * (T + T.T)
         A_bar = jax.lax.dynamic_update_slice(
             A_bar, Af_bar.astype(st)[None], (f, 0, 0)
         )

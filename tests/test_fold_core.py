@@ -270,7 +270,7 @@ class TestInplaceFoldFactorization:
                 energy_score_core(zT[:, :S].T, zT[:, S:].T, -e[f], S, beta))
         return jnp.stack(scores)
 
-    @pytest.mark.parametrize("nb", [16, 12])
+    @pytest.mark.parametrize("nb", [16, 12, 13])
     def test_es_values_and_grads_inplace(self, rng, monkeypatch, nb):
         """fold_es_score through the in-place dispatch (its forward and
         backward run the same buffer-reusing per-fold chains)."""
@@ -280,7 +280,7 @@ class TestInplaceFoldFactorization:
         monkeypatch.setattr(fc, "_INPLACE_MIN_NB", 1)
         monkeypatch.setattr(fc, "_CHOL_BLOCK", 8)
         k, S, beta = 3, 9, 1.0
-        nb_pad = -(-nb // 8) * 8
+        nb_pad = fc._panel_width(nb)[1]  # nb=12 divides the 4-leaf: no pad
         A = _spd_batch(rng, k, nb)
         a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
         kd = jax.random.key_data(jax.random.PRNGKey(7))
@@ -349,6 +349,42 @@ class TestReducedStorageFoldBlocks:
                 np.asarray(gst[i]), np.asarray(g32[i]), rtol=0.1, atol=0.1
             )
 
+    @pytest.mark.parametrize("st", [jnp.float16, jnp.bfloat16])
+    def test_fold_es_score_matches_fp32_at_storage_grade(self, rng, st):
+        """fold_es_score on 2-byte fold blocks: values fp32-out, (A, a)
+        cotangents within storage grade of the fp32 run (the backward's
+        Af_bar/T transients accumulate in the storage dtype — the ES
+        fold-ceiling fix — so this pins the rounding they introduce)."""
+        from gpscore.ops.fold_core import fold_es_score
+
+        k, nb, S, beta = 2, 12, 7, 1.0
+        A = _spd_batch(rng, k, nb)
+        a = jnp.asarray(rng.standard_normal((k, nb)).astype(np.float32))
+        kd = jax.random.key_data(jax.random.PRNGKey(11))
+        want = fold_es_score(A, a, kd, S, beta)
+        got = fold_es_score(A.astype(st), a, kd, S, beta)
+        assert got.dtype == jnp.float32
+        tol = 5e-2 if st == jnp.bfloat16 else 2e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
+
+        w = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+
+        def f(A_, a_):
+            return jnp.sum(w * fold_es_score(A_, a_, kd, S, beta))
+
+        g32 = jax.grad(f, argnums=(0, 1))(A, a)
+        gst = jax.grad(f, argnums=(0, 1))(A.astype(st), a)
+        assert gst[0].dtype == st
+        sym = lambda M: 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        np.testing.assert_allclose(
+            np.asarray(sym(gst[0]).astype(jnp.float32)),
+            np.asarray(sym(g32[0])), rtol=0.1, atol=0.1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gst[1]), np.asarray(g32[1]), rtol=0.1, atol=0.1
+        )
+
 
 class TestFoldStatsObjectives:
     """The large-n fold-stats objective path (make_objective dispatch)."""
@@ -407,15 +443,25 @@ class TestFoldStatsObjectives:
             )
 
     @pytest.mark.parametrize("rule", ["dss", "kc", "es"])
-    def test_fold_stats_objective_descends(self, rng, monkeypatch, rule):
+    def test_fold_stats_objective_descends(self, monkeypatch, rule):
         import gpscore.fit.objectives as obj
         from gpscore.fit import fit_gd, make_objective
 
-        x, y, p = self._problem(rng, n=64)
+        # Own generator, NOT the session-scoped `rng` fixture: a descent
+        # assertion this tight (12 iters, lr 1e-3, MC energy score) is
+        # sensitive to the draw, and the shared stream's position shifts
+        # whenever a test is added earlier in the session.
+        x, y, p = self._problem(np.random.default_rng(42), n=64)
         monkeypatch.setattr(obj, "_FUSED_LOO_MIN_N", 1)
         loss = make_objective(rule, model="exact")
         res = fit_gd(loss, p, x, y, iters=12, lr=1e-3,
                      key=jax.random.PRNGKey(0))
         h = np.asarray(res.loss_history)
         assert np.all(np.isfinite(h))
-        assert h[-1] < h[0]
+        # Descent is judged on ONE shared eval key: the history entries of a
+        # stochastic rule (ES redraws eps each iteration) differ by MC noise
+        # comparable to 12 small GD steps, so h[-1] < h[0] is a coin flip.
+        k_eval = jax.random.PRNGKey(123)
+        l0 = float(loss(p, x, y, k_eval))
+        l1 = float(loss(res.params, x, y, k_eval))
+        assert l1 < l0
