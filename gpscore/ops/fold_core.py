@@ -137,19 +137,27 @@ def _batched_tri_inv(La):
 def _chol_inplace_2d(A, b):
     """Lower Cholesky of one [m, m] SPD block, m % b == 0, potri-style:
     left-looking blocked factorization as a static-offset dynamic-update-slice
-    chain on one buffer, inner accumulations scan-serialized, leaf cholesky +
-    panel inverse at b x b (gpscore/ops/potri_inplace.py stage 1, without the
-    Gram generation — here the source matrix is given)."""
+    chain IN PLACE ON THE SOURCE BUFFER — the left-looking order makes that
+    legal: panel pi reads factor columns < s (already written) and source
+    entries at columns >= s (not yet touched), so the buffer is its own
+    source and no separate [m, m] output exists (the zeros_like output this
+    replaces was a second 1.36 GB fp32 transient per fold at nb = 18,432,
+    next to the fp32 upcast it factored). Inner accumulations are
+    scan-serialized, leaf cholesky + panel inverse at b x b
+    (gpscore/ops/potri_inplace.py stage 1, without the Gram generation).
+    Column writes span the full height with an explicit zero head, so the
+    strict upper triangle of the result is exactly zero — the same contract
+    the zeros-initialized form had."""
     from jax import lax
     from jax.scipy.linalg import solve_triangular
 
     m = A.shape[0]
     eye_b = jnp.eye(b, dtype=A.dtype)
-    W = jnp.zeros_like(A)
+    W = A
     for pi in range(m // b):
         s = pi * b
         rem = m - s
-        P = lax.dynamic_slice(A, (s, s), (rem, b))
+        P = lax.dynamic_slice(W, (s, s), (rem, b))
         if pi:
 
             def body(Pc, j, W=W, s=s, rem=rem):
@@ -168,7 +176,9 @@ def _chol_inplace_2d(A, b):
             col = jnp.concatenate([Ljj, below], axis=0)
         else:
             col = Ljj
-        W = lax.dynamic_update_slice(W, col, (s, s))
+        if s:
+            col = jnp.concatenate([jnp.zeros((s, b), A.dtype), col], axis=0)
+        W = lax.dynamic_update_slice(W, col, (0, s))
     return W
 
 
