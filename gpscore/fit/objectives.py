@@ -107,10 +107,11 @@ def make_objective(
         return fitc_mod.kfold_fitc_lowrank(x, y, params, fold_k, kind=kernel)
 
     def _use_fold_stats(x):
-        # Large-n exact path: fused core + closed-form-adjoint fold consumer
-        # (gpscore.ops.fold_core) — nothing in the fold chain left to autodiff,
-        # ~n^2 + 3 n^2/fold_k peak instead of the 3.4 n^2 the autodiff consumer
-        # of the PrecisionGaussian path holds (RESULTS.md ceiling tables).
+        # Large-n exact path: the fold-STREAMED fused primitives
+        # (gpscore.ops.fold_stream) — nothing in the fold chain left to
+        # autodiff and no [fold_k, nb, nb] stack at any point, so a
+        # value_and_grad peaks at ~n^2 + 1-3 (n/fold_k)^2 and the fold-rule
+        # ceiling tracks the LOO family's (RESULTS.md ceiling tables).
         return (
             model == "exact"
             and kernel in _FUSED_KERNELS
@@ -119,11 +120,9 @@ def make_objective(
 
     def _fold_stats(params, x, y, want_inv_diag=False):
         # dss/kc only: ES routes through kfold_es_fused (fold-streamed
-        # sampler), so the stats path never carries samples (S = 0).
-        nb = x.shape[0] // fold_k
-        eps = jnp.zeros((fold_k, nb, 0), x.dtype)
+        # sampler inside the same primitive family).
         return exact_mod.kfold_stats_fused(
-            x, y, _fused_params(params, kernel, x.shape[1]), fold_k, eps,
+            x, y, _fused_params(params, kernel, x.shape[1]), fold_k,
             want_inv_diag,
         )
 

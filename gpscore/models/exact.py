@@ -330,70 +330,58 @@ def kfold_exact_precision_fused(
     return PrecisionGaussian(mean, La)
 
 
-def kfold_stats_fused(x, y, params, fold_k: int, eps,
+def kfold_stats_fused(x, y, params, fold_k: int,
                       want_inv_diag: bool = True, block: int = 2048):
-    """Fold-conditional statistics for the large-n DSS/ES/kc objectives:
-    the fused ARD-Gram + k-fold solve core
-    (:func:`gpscore.ops.loo_fused.ard_kfold_solve_blocks`) composed with the
-    closed-form-adjoint fold consumer
-    (:func:`gpscore.ops.fold_core.fold_precision_stats`).
+    """Fold-conditional statistics for the large-n DSS/kc objectives via the
+    fold-STREAMED fused primitive
+    (:func:`gpscore.ops.fold_stream.ard_fold_stats_stream`): folds are
+    extracted, factored, scored, and adjoint-ed ONE AT A TIME off the n^2
+    K^-1 residual — no [fold_k, nb, nb] stack exists at any point, so the
+    fold rules' single-chip ceiling tracks the LOO family's instead of
+    sitting 14k rows below it (RESULTS.md round-5 ceiling tables; the
+    round-4 stacked composition — ard_kfold_solve_blocks +
+    fold_core.fold_precision_stats — remains available for parity tests).
 
     Same fold conditionals as :func:`kfold_exact_precision`
-    (reference `kin40k-FULL-compare.py:500-530`), but nothing in the chain is
-    left to autodiff: the scoring-stage adjoints (A_bar, a_bar) are closed
-    form, so a value_and_grad holds only the core's K^-1 residual plus the
-    fold blocks (~n^2 + 3 n^2/k peak instead of the 3.4 n^2 the autodiff
-    consumer held — the fold-rule single-chip ceiling moves from ~32k to the
-    CRPS/NLML ceiling, RESULTS.md).
-
-    ``eps``: [fold_k, nb, S] standard normals for the ES sampler (S = 0
-    otherwise). ``want_inv_diag=False`` (static) skips the fold variances
-    (only kc reads them). ``block`` is the fused core's panel/streaming
-    width (1024 buys ~0.5 GB of O(n*block) headroom at the ceiling).
+    (reference `kin40k-FULL-compare.py:500-530`). ``want_inv_diag=False``
+    (static) skips the fold variances (only kc reads them). ``block`` is
+    the potri panel + backward streaming width.
     Returns ``(stats: FoldStats, a_b: [k, nb], y_b: [k, nb])`` with fold
-    mean ``y_b - stats.e``.
+    mean ``y_b - stats.e`` (``stats.z`` is an empty placeholder — the ES
+    sampler lives in :func:`kfold_es_fused`).
     """
-    from gpscore.ops.fold_core import fold_precision_stats
-    from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+    from gpscore.ops.fold_core import FoldStats
+    from gpscore.ops.fold_stream import ard_fold_stats_stream
 
     n = x.shape[0]
     y = y.reshape(n)
-    a, A = ard_kfold_solve_blocks(
+    e, hld, inv_diag, a = ard_fold_stats_stream(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
-        x, y, fold_k, block,
+        x, y, fold_k, want_inv_diag, block,
     )
     nb = n // fold_k
-    a_b = a.reshape(fold_k, nb)
-    stats = fold_precision_stats(A, a_b, eps, want_inv_diag)
-    return stats, a_b, y.reshape(fold_k, nb)
+    z = jnp.zeros((fold_k, 0, nb), jnp.float32)
+    stats = FoldStats(e, hld, inv_diag, z)
+    return stats, a.reshape(fold_k, nb), y.reshape(fold_k, nb)
 
 
 def kfold_es_fused(x, y, params, fold_k: int, key, num_sim: int = 300,
                    es_beta: float = 1.0, block: int = 2048):
-    """Large-n ES objective: the fused ARD-Gram + k-fold solve core composed
-    with the fold-streamed ES consumer
-    (:func:`gpscore.ops.fold_core.fold_es_score`).
-
-    Same per-fold conditionals and S(S-1)-normalized MC energy score as the
-    :func:`kfold_stats_fused` route (reference
-    `kin40k-FULL-compare.py:616-657`), but the [fold_k, nb, 2S] sample
-    stacks never exist: eps is drawn one fold at a time from counter keys
-    derived off ``key`` and regenerated in the backward, which removes the
-    ~0.6 GB sampler chain that held ES one block size below dss/kc at the
-    2-byte ceiling (round-3 RESULTS.md). Returns the scalar summed score.
-    """
-    from gpscore.ops.fold_core import fold_es_score
-    from gpscore.ops.loo_fused import ard_kfold_solve_blocks
+    """Large-n ES objective via the fold-streamed fused primitive
+    (:func:`gpscore.ops.fold_stream.ard_fold_es_stream`): per-fold
+    conditionals AND the S(S-1)-normalized MC energy score
+    (reference `kin40k-FULL-compare.py:616-657`) in one custom-VJP chain
+    off the K^-1 residual. eps is drawn one fold at a time from counter
+    keys derived off ``key`` and regenerated in the backward — no
+    [fold_k, nb, 2S] sample stack, no fold-block stack. Returns the scalar
+    summed score."""
+    from gpscore.ops.fold_stream import ard_fold_es_stream
 
     n = x.shape[0]
     y = y.reshape(n)
-    a, A = ard_kfold_solve_blocks(
+    scores = ard_fold_es_stream(
         params.log_signal_sq, params.log_length, params.log_noise_sq,
-        x, y, fold_k, block,
-    )
-    nb = n // fold_k
-    scores = fold_es_score(
-        A, a.reshape(fold_k, nb), jax.random.key_data(key), num_sim, es_beta
+        x, y, jax.random.key_data(key), fold_k, num_sim, es_beta, block,
     )
     return jnp.sum(scores)
 

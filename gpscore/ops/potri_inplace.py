@@ -482,6 +482,60 @@ def _tri_inv_fori(W, b):
     )
 
 
+def tri_inv_fori_lower(W, b):
+    """W: L (lower, zero strict upper) -> X = L^-1 in place, LOWER TRIANGLE
+    ONLY (the strict upper stays exactly zero), bounded trace.
+
+    The both-triangle variant (:func:`_tri_inv_fori`) mirrors X^T into the
+    strict upper because the full potri pipeline's lauum stage must read the
+    transpose row-major; per-fold consumers (:mod:`gpscore.ops.fold_stream`)
+    instead feed X into colsum-of-squares reductions and ``X^T (X v)``
+    matvecs that read the WHOLE buffer, so the mirror would corrupt them —
+    this variant preserves ``_tri_inv_inplace``'s zero-upper contract at
+    O(1) trace size and any storage dtype (fp32 leaf solves, fp32
+    cross-block accumulation, one rounding per stored block).
+
+    Layout discipline (BENCH_NOTES.md "layout war"): every W-read is
+    dim-1-contracted (``dot_general(Xblk, Lblk)`` contracts Xblk's dim 1);
+    dim-0-contracted operands come from the [n, b] column snapshot, whose
+    relayout costs n*b, not n^2; the leaf solve is the PLAIN lower form.
+    """
+    n = W.shape[0]
+    k = n // b
+    dtype = W.dtype
+    f32 = jnp.float32
+    eye_b = jnp.eye(b, dtype=f32)
+
+    def step(i, W):
+        pi = k - 1 - i
+        s = pi * b
+        Lcol = lax.dynamic_slice(W, (0, s), (n, b))  # original L, pre-write
+        Ljj = lax.dynamic_slice(Lcol, (s, 0), (b, b))
+        Xjj = solve_triangular(Ljj.astype(f32), eye_b, lower=True)
+
+        def row_body(ip, W):
+            # X[ip, s] = -(sum_{pi < jp <= ip} X[ip, jp] L[jp, s-col]) X_ss:
+            # trailing-inverse blocks (written at earlier, more-rightward
+            # pivots) times b x b blocks of the snapshotted original column.
+            def acc_body(jp, acc):
+                Xblk = lax.dynamic_slice(W, (ip * b, jp * b), (b, b))
+                Lblk = lax.dynamic_slice(Lcol, (jp * b, 0), (b, b))
+                return acc + lax.dot_general(
+                    Xblk, Lblk, (((1,), (0,)), ((), ())),
+                    precision=mm_precision(), preferred_element_type=f32,
+                )
+
+            acc = lax.fori_loop(pi + 1, ip + 1, acc_body,
+                                jnp.zeros((b, b), f32))
+            blk = -jnp.matmul(acc, Xjj, precision=mm_precision())
+            return lax.dynamic_update_slice(W, blk.astype(dtype), (ip * b, s))
+
+        W = lax.fori_loop(pi + 1, k, row_body, W)
+        return lax.dynamic_update_slice(W, Xjj.astype(dtype), (s, s))
+
+    return lax.fori_loop(0, k, step, W)
+
+
 def _lauum_fori(W, Dstack, b):
     """(W, Dstack) from :func:`_tri_inv_fori` -> K_hat^-1 = L^-T L^-1, full
     symmetric, in place, bounded trace.
