@@ -216,7 +216,7 @@ def main(argv=None):
               # needed for correctness anymore.
               res, fit_info = fit_gd_recovering(
                   loss, params, x, y, iters=sched.iters, lr=sched.lr, key=key,
-                  segment_iters=seg, verbose=True,
+                  segment_iters=seg, verbose=True, rule=rule,
               )
           params = res.params
           losses = np.asarray(res.loss_history).tolist()

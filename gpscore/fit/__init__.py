@@ -5,6 +5,7 @@ from gpscore.fit.train import (
     fit_gd,
     fit_gd_recovering,
     fit_optax,
+    objective_family,
 )
 from gpscore.fit.schedules import Schedule, SCHEDULES, get_schedule
 
@@ -14,6 +15,7 @@ __all__ = [
     "fit_gd",
     "fit_gd_recovering",
     "auto_recover_mode",
+    "objective_family",
     "fit_optax",
     "FitResult",
     "Schedule",

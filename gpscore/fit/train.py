@@ -134,13 +134,28 @@ def fit_gd(
     return FitResult(final, losses, ok, history, stall)
 
 
-# Measured single-chip fp32-storage objective ceiling (RESULTS.md): below
-# this n the fp32-storage "high" mode fits in HBM and is the preferred
-# recovery target; above it only another 2-byte mode can run.
-_FP32_STORAGE_CEILING_N = 61_440
+# Measured single-chip fp32-storage objective ceilings (RESULTS.md ceiling
+# tables), per objective family: below these n the fp32-storage "high" mode
+# fits in HBM and is the preferred recovery target; above them only another
+# 2-byte mode can run. The fold family (dss/es/kc 4-fold) peaks higher than
+# the LOO family (crps/logs/interval/nlml) — it carries per-fold factor
+# temps next to the n^2 buffer — so its fp32 bound sits lower.
+_FP32_STORAGE_CEILING_N = {
+    "loo": 61_440,   # crps/logs/interval/nlml, measured at b=1024
+    "fold": 47_104,  # min over dss/es/kc (dss binds) — conservative
+}
+
+# Objective families for the recovery ladder (matches the dispatch split in
+# gpscore/fit/objectives.py: LOO/NLML cores vs the k-fold streamed cores).
+_FOLD_RULES = ("dss", "es", "kc")
 
 
-def auto_recover_mode(mode: str, n: int) -> Optional[str]:
+def objective_family(rule: Optional[str]) -> str:
+    """"fold" for the k-fold rules (dss/es/kc), "loo" otherwise (incl. None)."""
+    return "fold" if rule in _FOLD_RULES else "loo"
+
+
+def auto_recover_mode(mode: str, n: int, family: str = "loo") -> Optional[str]:
     """The automatic fallback mode for a stalled 2-byte fit at size ``n``.
 
     The stall (gpscore/utils/precision.py mode notes): mid-descent the learned
@@ -151,11 +166,17 @@ def auto_recover_mode(mode: str, n: int) -> Optional[str]:
     n^2 fp32 buffers still fit on-chip, else "f16" (8x finer mantissa than
     bf16 at half memory). Returns None when nothing safer exists (an "f16"
     stall beyond the fp32 ceiling — the one case left to the caller).
+
+    ``family`` selects the fp32 ceiling: the fold rules (dss/es/kc) OOM in
+    fp32 storage well below the LOO rules' 61,440 (RESULTS.md per-rule fold
+    ceilings), so a stalled 2-byte fold fit in the gap must fall to "f16",
+    not "high" (which would trade a stall for an OOM).
     """
+    ceiling = _FP32_STORAGE_CEILING_N.get(family, _FP32_STORAGE_CEILING_N["loo"])
     if mode == "bf16":
-        return "high" if n <= _FP32_STORAGE_CEILING_N else "f16"
+        return "high" if n <= ceiling else "f16"
     if mode == "f16":
-        return "high" if n <= _FP32_STORAGE_CEILING_N else None
+        return "high" if n <= ceiling else None
     return None
 
 
@@ -171,6 +192,7 @@ def fit_gd_recovering(
     recover_mode: str = "auto",
     segment_iters: Optional[int] = None,
     verbose: bool = False,
+    rule: Optional[str] = None,
 ):
     """:func:`fit_gd` with automatic recovery from 2-byte conditioning stalls.
 
@@ -188,6 +210,16 @@ def fit_gd_recovering(
     multi-minute device programs; CLAUDE.md). Returns ``(FitResult, info)``
     where ``info`` records per-segment wall times and the recovery trail;
     the FitResult's loss_history is the stitched full-schedule history.
+
+    ``rule`` (objective name, e.g. "dss") selects the fp32 ceiling the auto
+    ladder uses (:func:`objective_family`): the fold rules' fp32-storage
+    ceilings sit below the LOO rules' (RESULTS.md), so their ladder falls
+    to "f16" earlier. Additionally, a recovery leg that OOMs on-device
+    (``RuntimeError``/``XlaRuntimeError`` — the measured ceilings are
+    per-rule and per-block, an out-of-table configuration can still exceed
+    HBM) is caught and laddered one more rung to "f16" instead of crashing
+    the multi-hour fit; the failed leg is recorded in ``info["recovery"]``
+    with ``iters: 0`` and the error's first line.
 
     Reference analogue: the try/except -> record-zeros crash handling this
     framework replaces (`kin40k-FULL-compare.py:726-732`).
@@ -235,22 +267,54 @@ def fit_gd_recovering(
                 )
         return p, np.concatenate(losses), stall, segments
 
+    family = objective_family(rule)
     mode = get_matmul_mode()
     p, losses, stall, segments = run_leg(params, iters, mode, 0)
     info = {"mode": mode, "stall_iters": int(stall), "segments": segments,
             "recovery": []}
     salt = 10_000
+    tried = {mode}  # modes that have already stalled (or OOM'd) at this n
+    forced = None  # OOM fallback rung overriding the conditioning ladder
     while stall > 0:
-        nxt = (auto_recover_mode(mode, n) if recover_mode == "auto"
-               else recover_mode)
-        if nxt is None or nxt == mode:
+        if forced is not None:
+            nxt, forced = forced, None
+        else:
+            nxt = (auto_recover_mode(mode, n, family)
+                   if recover_mode == "auto" else recover_mode)
+        if nxt is None or nxt in tried:
             info["unrecovered_iters"] = int(stall)
             break
         if verbose:
             print(f"[fit_gd_recovering] {stall} stalled iteration(s) under "
                   f"{mode!r}; re-running under {nxt!r}", flush=True)
+        try:
+            p2, rl, stall2, rsegs = run_leg(p, stall, nxt, salt)
+        except RuntimeError as e:  # XlaRuntimeError (device OOM) included
+            # The recovery leg itself did not fit on-chip (the measured
+            # fp32 ceilings are per-rule/per-block — an out-of-table n can
+            # still exceed HBM). Fall one more rung to 2-byte "f16" unless
+            # f16 is what stalled in the first place.
+            info["recovery"].append(
+                {"mode": nxt, "iters": 0,
+                 "error": str(e).splitlines()[0][:200]})
+            tried.add(nxt)
+            salt += 10_000
+            if (recover_mode == "auto" and nxt == "high"
+                    and "f16" not in tried):
+                if verbose:
+                    print(f"[fit_gd_recovering] {nxt!r} recovery leg "
+                          f"failed ({type(e).__name__}); falling to 'f16'",
+                          flush=True)
+                forced = "f16"
+                continue
+            # No safer rung left: return the partial fit (last good params
+            # + stall count) rather than losing the whole run. The FIRST
+            # leg is outside this try, so a genuinely broken configuration
+            # still raises before any work is discarded.
+            info["unrecovered_iters"] = int(stall)
+            break
         mode = nxt
-        p, rl, stall, rsegs = run_leg(p, stall, mode, salt)
+        p, stall = p2, stall2
         # Replace the frozen tail (NaN losses at frozen params) with the
         # recovered iterations — the stitched history is the real trajectory.
         losses = np.concatenate([losses[: len(losses) - len(rl)], rl])
@@ -258,6 +322,8 @@ def fit_gd_recovering(
                                  "stall_after": int(stall)})
         info["segments"].extend(rsegs)
         salt += 10_000
+        if stall > 0:
+            tried.add(mode)
         if recover_mode != "auto":
             if stall > 0:
                 info["unrecovered_iters"] = int(stall)

@@ -199,6 +199,136 @@ class TestStallRecovery:
         assert auto_recover_mode("highest", 30_720) is None
         assert auto_recover_mode("fast", 30_720) is None
 
+    def test_auto_recover_mode_fold_family(self):
+        """The fold rules' fp32 ceiling sits below the LOO rules'
+        (RESULTS.md): in the gap the ladder must pick "f16", not an
+        OOM-bound "high" (round-4 VERDICT weak #2)."""
+        from gpscore.fit import auto_recover_mode, objective_family
+        from gpscore.fit.train import _FP32_STORAGE_CEILING_N
+
+        lo, hi = (_FP32_STORAGE_CEILING_N["fold"],
+                  _FP32_STORAGE_CEILING_N["loo"])
+        gap_n = lo + 1024  # a fold-rule size above fold-fp32, below LOO-fp32
+        assert lo < gap_n <= hi
+        assert auto_recover_mode("bf16", gap_n, "fold") == "f16"
+        assert auto_recover_mode("f16", gap_n, "fold") is None
+        assert auto_recover_mode("bf16", lo, "fold") == "high"
+        # LOO family unchanged in the gap
+        assert auto_recover_mode("bf16", gap_n, "loo") == "high"
+        assert objective_family("dss") == "fold"
+        assert objective_family("es") == "fold"
+        assert objective_family("kc") == "fold"
+        assert objective_family("crps") == "loo"
+        assert objective_family(None) == "loo"
+
+    def test_fold_rule_stall_recovers_via_f16_in_the_gap(self, synth,
+                                                         monkeypatch):
+        """A bf16 fold-rule stall at n in (fold-fp32-ceiling, loo-fp32-
+        ceiling] must recover via "f16" (CPU-scale: ceilings monkeypatched
+        below the toy n)."""
+        from gpscore.fit import fit_gd_recovering
+        from gpscore.fit import train as train_mod
+        from gpscore.utils.precision import matmul_mode
+
+        n = int(synth.train_x.shape[0])
+        monkeypatch.setattr(train_mod, "_FP32_STORAGE_CEILING_N",
+                            {"loo": 10 * n, "fold": n // 2})
+
+        def bf16_only_stall(params, x, y, key=None):
+            from gpscore.utils.precision import get_matmul_mode
+
+            base = (params.log_signal_sq - 1.0) ** 2
+            if get_matmul_mode() == "bf16":
+                base = jnp.where(params.log_signal_sq > 0.55, jnp.nan, base)
+            return base
+
+        p = self._params0()
+        with matmul_mode("bf16"):
+            res, info = fit_gd_recovering(
+                bf16_only_stall, p, synth.train_x, synth.train_y,
+                iters=8, lr=0.25, rule="dss",
+            )
+        assert info["recovery"] == [
+            {"mode": "f16", "iters": 6, "stall_after": 0}
+        ]
+        assert float(res.params.log_signal_sq) > 0.95
+
+    def test_oom_on_high_recovery_leg_falls_to_f16(self, synth, monkeypatch):
+        """A recovery leg that OOMs on-device must ladder down to "f16"
+        and keep going, not crash the fit (round-4 VERDICT weak #2)."""
+        from gpscore.fit import fit_gd_recovering
+        from gpscore.fit import train as train_mod
+        from gpscore.utils.precision import matmul_mode
+
+        real_fit_gd = train_mod.fit_gd
+
+        def fit_gd_high_ooms(loss_fn, params, *a, **kw):
+            from gpscore.utils.precision import get_matmul_mode
+
+            if get_matmul_mode() == "high":
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory allocating ... "
+                )
+            return real_fit_gd(loss_fn, params, *a, **kw)
+
+        monkeypatch.setattr(train_mod, "fit_gd", fit_gd_high_ooms)
+
+        def bf16_only_stall(params, x, y, key=None):
+            from gpscore.utils.precision import get_matmul_mode
+
+            base = (params.log_signal_sq - 1.0) ** 2
+            if get_matmul_mode() == "bf16":
+                base = jnp.where(params.log_signal_sq > 0.55, jnp.nan, base)
+            return base
+
+        p = self._params0()
+        with matmul_mode("bf16"):
+            res, info = fit_gd_recovering(
+                bf16_only_stall, p, synth.train_x, synth.train_y,
+                iters=8, lr=0.25, verbose=False,
+            )
+        # ladder: bf16 stall -> "high" leg OOMs (recorded, iters 0) ->
+        # forced "f16" leg completes the lost iterations
+        assert info["recovery"][0]["mode"] == "high"
+        assert info["recovery"][0]["iters"] == 0
+        assert "RESOURCE_EXHAUSTED" in info["recovery"][0]["error"]
+        assert info["recovery"][1] == {
+            "mode": "f16", "iters": 6, "stall_after": 0
+        }
+        assert "unrecovered_iters" not in info
+        assert float(res.params.log_signal_sq) > 0.95
+
+    def test_oom_with_no_rung_left_returns_partial_fit(self, synth,
+                                                       monkeypatch):
+        """f16 stall -> "high" OOM -> nothing safer: the partial fit (last
+        good params + unrecovered count) comes back instead of a crash."""
+        from gpscore.fit import fit_gd_recovering
+        from gpscore.fit import train as train_mod
+        from gpscore.utils.precision import matmul_mode
+
+        real_fit_gd = train_mod.fit_gd
+
+        def fit_gd_high_ooms(loss_fn, params, *a, **kw):
+            from gpscore.utils.precision import get_matmul_mode
+
+            if get_matmul_mode() == "high":
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+            return real_fit_gd(loss_fn, params, *a, **kw)
+
+        monkeypatch.setattr(train_mod, "fit_gd", fit_gd_high_ooms)
+        p = self._params0()
+        with matmul_mode("f16"):
+            res, info = fit_gd_recovering(
+                self._mode_sensitive_loss, p, synth.train_x, synth.train_y,
+                iters=8, lr=0.25,
+            )
+        assert info["unrecovered_iters"] == 6
+        assert info["recovery"][-1]["iters"] == 0
+        # frozen at the last good parameters, like a plain stalled fit_gd
+        np.testing.assert_allclose(
+            float(res.params.log_signal_sq), 0.75, rtol=1e-6
+        )
+
 
 def test_fit_optax_runs(synth):
     import optax
