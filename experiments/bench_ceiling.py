@@ -52,7 +52,13 @@ def _thread_block(rule, block):
     """Route the CLI block width into the fused cores (the objective builders
     use the cores' defaults otherwise). Context manager: the module
     attributes are restored on exit, so an in-process caller (the CPU smoke
-    test) doesn't leak a partial block width into the rest of the process."""
+    test) doesn't leak a partial block width into the rest of the process.
+
+    ``block`` falsy (0/None) = no-op: the cores' divisor-aware auto width
+    (gpscore.ops.loo_fused.auto_block) stands."""
+    if not block:
+        yield
+        return
     saved = {
         "loo_exact_fused": exact_mod.loo_exact_fused,
         "nlml_exact_fused": exact_mod.nlml_exact_fused,

@@ -127,10 +127,12 @@ def main(argv=None):
                          "the fp32 n^2 ceiling, f16-stored beyond it; "
                          "explicit values override (f16 at n <= 61440 is "
                          "the refinement-validation config)")
-    ap.add_argument("--block", type=int, default=2048,
-                    help="fused-core panel width AND eval block (1024 at "
-                         "the 61-86k ceilings: halves the O(n*block) "
-                         "working set next to the n^2 buffer)")
+    ap.add_argument("--block", type=int, default=0,
+                    help="fused-core panel width AND eval block; 0 (default) "
+                         "= divisor-aware auto selection "
+                         "(gpscore.ops.loo_fused.auto_block: widest pad-free "
+                         "width whose O(n*block) stream temps fit next to "
+                         "the n^2 buffer — no hand-tuning at the ceilings)")
     ap.add_argument("--eval-chunk", type=int, default=2048,
                     help="test-column chunk of the streamed predictive. At "
                          "the 86k ceiling the PCG working set is ~5 fp32 "
@@ -165,6 +167,16 @@ def main(argv=None):
         return None, 0
 
     from experiments.bench_ceiling import _thread_block
+    from gpscore.ops.loo_fused import auto_block
+
+    def eval_block():
+        """--block, or the divisor-aware auto width at the EVAL storage
+        dtype (auto_block reads the ambient mode otherwise, and evaluation
+        runs outside the --matmul context)."""
+        if args.block:
+            return args.block
+        st, _ = eval_config()
+        return auto_block(args.n, 2 if st is not None else 4)
 
     x, y, xt, yt = make_data(args.n, args.d, args.n_test)
     results = {}
@@ -195,7 +207,7 @@ def main(argv=None):
                   lambda xx, yy, xt_, p: exact_predictive_diag_large(
                       xx, yy, xt_, p, storage=eval_storage,
                       refine=eval_refine, chunk=args.eval_chunk,
-                      block=args.block)
+                      block=eval_block())
               )(x, y, xt, params)
               m = evaluate_predictive(pred.mean, pred.cov, yt, y)
               rec["eval_storage"] = "f16" if eval_storage is not None else "f32"
@@ -276,7 +288,7 @@ def main(argv=None):
           pred = jax.jit(
               lambda xx, yy, xt_, p: exact_predictive_diag_large(
                   xx, yy, xt_, p, storage=eval_storage, refine=eval_refine,
-                  chunk=args.eval_chunk, block=args.block)
+                  chunk=args.eval_chunk, block=eval_block())
           )(x, y, xt, params)
           m = evaluate_predictive(pred.mean, pred.cov, yt, y)
           rec = {

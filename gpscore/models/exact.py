@@ -302,7 +302,7 @@ def kfold_exact_precision(k_ff, y, noise_sq, fold_k: int) -> PrecisionGaussian:
 
 
 def kfold_exact_precision_fused(
-    x, y, params, fold_k: int, block: int = 2048
+    x, y, params, fold_k: int, block=None
 ) -> PrecisionGaussian:
     """k-fold block conditionals in precision form via the fused ARD-Gram +
     k-fold solve core (:mod:`gpscore.ops.loo_fused`): same math as
@@ -331,7 +331,7 @@ def kfold_exact_precision_fused(
 
 
 def kfold_stats_fused(x, y, params, fold_k: int,
-                      want_inv_diag: bool = True, block: int = 2048):
+                      want_inv_diag: bool = True, block=None):
     """Fold-conditional statistics for the large-n DSS/kc objectives via the
     fold-STREAMED fused primitive
     (:func:`gpscore.ops.fold_stream.ard_fold_stats_stream`): folds are
@@ -366,7 +366,7 @@ def kfold_stats_fused(x, y, params, fold_k: int,
 
 
 def kfold_es_fused(x, y, params, fold_k: int, key, num_sim: int = 300,
-                   es_beta: float = 1.0, block: int = 2048):
+                   es_beta: float = 1.0, block=None):
     """Large-n ES objective via the fold-streamed fused primitive
     (:func:`gpscore.ops.fold_stream.ard_fold_es_stream`): per-fold
     conditionals AND the S(S-1)-normalized MC energy score

@@ -79,7 +79,8 @@ from jax import lax
 
 from gpscore.ops import fold_core, potri_inplace
 from gpscore.ops.kernels import ard_gram, gram
-from gpscore.ops.loo_fused import _gram_inverse, _resolve_inplace
+from gpscore.ops.loo_fused import (_gram_inverse, _resolve_block,
+                                   _resolve_inplace)
 from gpscore.utils.precision import matmul_acc32, mm_precision
 
 # Same per-fold dispatch knee as fold_core: below this fold size the
@@ -311,7 +312,7 @@ def _stream_width(n_pad, block, inplace):
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ard_fold_stats_stream(log_signal_sq, log_length, log_noise_sq, x, y,
                           fold_k: int, want_inv_diag: bool = True,
-                          block: int = 2048, inplace=None):
+                          block=None, inplace=None):
     """Fold-streamed fused k-fold statistics (module docstring):
 
         e [k, nb]   = A_f^-1 [K_hat^-1 y]_f     (fold mean m_f = y_f - e_f)
@@ -339,6 +340,7 @@ def _stats_fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y, fold_k,
         raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
     nb = n // fold_k
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
                                    x, y, block, inplace)
 
@@ -418,6 +420,7 @@ def _stats_bwd(fold_k, want_inv_diag, block, inplace, res, cot):
     n = fold_k * e.shape[1]
     nb = e.shape[1]
     inplace_r = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     n_pad = Kinv.shape[0]
     st = Kinv.dtype
     d = x_pad.shape[1]
@@ -460,7 +463,7 @@ ard_fold_stats_stream.defvjp(_stats_fwd, _stats_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def ard_fold_es_stream(log_signal_sq, log_length, log_noise_sq, x, y,
                        key_data, fold_k: int, num_sim: int = 300,
-                       beta: float = 1.0, block: int = 2048, inplace=None):
+                       beta: float = 1.0, block=None, inplace=None):
     """Fold-streamed fused k-fold ENERGY SCORE: per-fold MC energy scores
     [k] of the block conditionals, end to end from the hyperparameters
     (reference `kin40k-FULL-compare.py:616-657`, S(S-1) pairing
@@ -484,6 +487,7 @@ def _es_fwd_impl(log_signal_sq, log_length, log_noise_sq, x, y, key_data,
         raise ValueError(f"n={n} not divisible by fold_k={fold_k}")
     nb = n // fold_k
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
                                    x, y, block, inplace)
     st = Kinv.dtype
@@ -579,6 +583,7 @@ def _es_bwd(fold_k, num_sim, beta, block, inplace, res, s_bar):
     n = fold_k * e.shape[1]
     nb = e.shape[1]
     inplace_r = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     n_pad = Kinv.shape[0]
     st = Kinv.dtype
     d = x_pad.shape[1]

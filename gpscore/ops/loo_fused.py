@@ -72,6 +72,44 @@ def _resolve_inplace(n: int, inplace):
     return (n >= _INPLACE_MIN_N) if inplace is None else bool(inplace)
 
 
+# Auto panel-width envelope (one 16 GB v5e chip). The ceiling-size runs used
+# to need a hand-chosen --block (61,440 fp32 wants 1024, 62,464 wants 512 —
+# RESULTS.md); the fold path's divisor-aware _panel_width moved three
+# ceilings, so the same policy applies here: widest pad-free width whose
+# stream temps still fit next to the n^2 residual.
+_HBM_BYTES = 15.75e9
+# ~4 fp32 [n, block] stream temps live at the peak (backward row panel +
+# Gram rows + sandwich partials; measured envelope at the 57-62k ceilings).
+_STREAM_TEMP_ROWS = 4
+
+
+def auto_block(n: int, storage_bytes: int | None = None) -> int:
+    """Divisor-aware panel/stream width for the fused cores at size ``n``.
+
+    Candidates 2048/1024/512 (the measured expander-temp knee bounds them
+    below; wider panels only help while the O(n * block) temps are noise).
+    Pick the WIDEST candidate that (a) divides n — zero padding, no
+    pad-slice copies — and (b) leaves its ~4 fp32 [n, block] stream temps
+    inside the HBM budget next to the n^2 storage-dtype residual. When the
+    budget admits none (the absolute-ceiling sizes), the narrowest divisor
+    wins; when nothing divides, 2048 (padded) — pre-auto behavior.
+    """
+    if storage_bytes is None:
+        storage_bytes = jnp.dtype(storage_dtype()).itemsize
+    cands = [c for c in (2048, 1024, 512) if n % c == 0]
+    if not cands:
+        return 2048
+    free = _HBM_BYTES - float(n) * n * storage_bytes
+    for c in cands:
+        if _STREAM_TEMP_ROWS * 4.0 * n * c <= free:
+            return c
+    return cands[-1]
+
+
+def _resolve_block(n: int, block) -> int:
+    return auto_block(n) if block is None else int(block)
+
+
 def _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
                   block=2048, inplace=False):
     """(a, Kinv, x_maybe_padded) for K_hat = K_ard(x) + noise I. K_hat is dead
@@ -203,13 +241,14 @@ def _stream_param_grads(
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
-                       block: int = 2048, inplace=None):
+                       block=None, inplace=None):
     """(a, d) = (K_hat^-1 y, diag K_hat^-1) for K_hat = K_ard(x) + noise_sq I,
     differentiable w.r.t. the three log-hyperparameters and y (x is data;
     its cotangent is zero). ``block`` is the backward streaming row-block.
     ``inplace`` selects the n^2-peak potri forward (None = auto by n)."""
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, _ = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
                                block, inplace)
     return a[:n], jnp.diagonal(Kinv)[:n].astype(jnp.float32)
@@ -218,6 +257,7 @@ def ard_loo_solve_diag(log_signal_sq, log_length, log_noise_sq, x, y,
 def _loo_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
                                    x, y, block, inplace)
     return (a[:n], jnp.diagonal(Kinv)[:n].astype(jnp.float32)), (
@@ -229,6 +269,7 @@ def _loo_bwd(block, inplace, res, cot):
     Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
     a_bar, d_bar = cot
     n_real, n_pad = a_bar.shape[0], a.shape[0]
+    block = _resolve_block(n_real, block)
     if n_pad > n_real:
         from gpscore.ops.potri_inplace import zero_pad
 
@@ -260,7 +301,7 @@ ard_loo_solve_diag.defvjp(_loo_fwd, _loo_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def ard_kfold_solve_blocks(log_signal_sq, log_length, log_noise_sq, x, y,
-                           fold_k: int, block: int = 2048, inplace=None):
+                           fold_k: int, block=None, inplace=None):
     """Fused Gram + k-fold solve: the large-n counterpart of
     :func:`gpscore.ops.linalg.kfold_solve_blocks` (reference fold conditionals,
     `kin40k-FULL-compare.py:507-530`). Requires n % fold_k == 0.
@@ -272,6 +313,7 @@ def ard_kfold_solve_blocks(log_signal_sq, log_length, log_noise_sq, x, y,
     """
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, _ = _gram_inverse(log_signal_sq, log_length, log_noise_sq, x, y,
                                block, inplace)
     return a[:n], _diag_blocks(Kinv, fold_k, n)
@@ -295,6 +337,7 @@ def _kfold_fwd(log_signal_sq, log_length, log_noise_sq, x, y, fold_k, block,
                inplace):
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     a, Kinv, x_pad = _gram_inverse(log_signal_sq, log_length, log_noise_sq,
                                    x, y, block, inplace)
     return (a[:n], _diag_blocks(Kinv, fold_k, n)), (
@@ -306,6 +349,7 @@ def _kfold_bwd(fold_k, block, inplace, res, cot):
     Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
     a_bar, A_bar = cot
     n_real, n_pad = a_bar.shape[0], a.shape[0]
+    block = _resolve_block(n_real, block)
     nf = n_real // fold_k
     if n_pad > n_real:
         from gpscore.ops.potri_inplace import zero_pad
@@ -357,7 +401,7 @@ ard_kfold_solve_blocks.defvjp(_kfold_fwd, _kfold_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ard_nlml(log_signal_sq, log_length, log_noise_sq, x, y,
-             block: int = 2048, inplace=None):
+             block=None, inplace=None):
     """Fused large-n NLML (reference inline,
     `SIMPLE-DATA FULL-comapre.py:292-296`; the exact-GP baseline objective).
 
@@ -372,6 +416,7 @@ def ard_nlml(log_signal_sq, log_length, log_noise_sq, x, y,
     """
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     const = 0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
     if inplace:
         from gpscore.ops import potri_inplace as pp
@@ -398,6 +443,7 @@ def ard_nlml(log_signal_sq, log_length, log_noise_sq, x, y,
 def _nlml_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
     n = x.shape[0]
     inplace = _resolve_inplace(n, inplace)
+    block = _resolve_block(n, block)
     const = 0.5 * n * jnp.log(2.0 * jnp.pi).astype(x.dtype)
     if inplace:
         from gpscore.ops import potri_inplace as pp
@@ -427,6 +473,7 @@ def _nlml_fwd(log_signal_sq, log_length, log_noise_sq, x, y, block, inplace):
 def _nlml_bwd(block, inplace, res, v_bar):
     Kinv, a, log_signal_sq, log_length, log_noise_sq, x = res
     n_real, n_pad = x.shape[0], a.shape[0]
+    block = _resolve_block(n_real, block)
     half = 0.5 * v_bar
     w = half * a
     if n_pad > n_real:

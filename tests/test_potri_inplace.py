@@ -426,3 +426,46 @@ class TestFusedInplaceParity:
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=1e-5
             )
+
+
+class TestAutoBlock:
+    """Divisor-aware auto panel width for the LOO/NLML cores
+    (gpscore.ops.loo_fused.auto_block — round-4 VERDICT ask #8: the
+    ceiling-size runs needed hand-chosen --block)."""
+
+    def test_measured_rows(self):
+        from gpscore.ops.loo_fused import auto_block
+
+        # comfortable sizes keep the widest divisor
+        assert auto_block(30_720, 4) == 2048
+        assert auto_block(57_344, 4) == 2048
+        # fp32 ceiling sizes narrow (61,440 ran at b=1024; 62,464 NEEDS 512)
+        assert auto_block(61_440, 4) in (512, 1024)
+        assert auto_block(62_464, 4) == 512
+        # 2-byte ceilings: 86,016/88,064 divide 2048 but have no headroom
+        assert auto_block(86_016, 2) == 512
+        assert auto_block(88_064, 2) == 512
+        # 2-byte mid sizes keep wide panels
+        assert auto_block(73_728, 2) == 2048
+        # nothing divides -> padded 2048 (pre-auto behavior)
+        assert auto_block(30_000, 4) == 2048
+
+    def test_block_none_resolves_and_matches_explicit(self, rng):
+        """block=None through the public cores == the resolved explicit
+        width (same values, same gradients)."""
+        import gpscore.ops.loo_fused as lf
+
+        x, y, s, ell, nu = _problem(rng, 64, d=2)
+        got = lf.ard_loo_solve_diag(s, ell, nu, x, y, None, True)
+        want = lf.ard_loo_solve_diag(s, ell, nu, x, y,
+                                     lf.auto_block(64), True)
+        for g_, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g_), np.asarray(w_))
+
+        def loss(ell_, block):
+            a, dg = lf.ard_loo_solve_diag(s, ell_, nu, x, y, block, True)
+            return jnp.sum(a * a / dg)
+
+        g_auto = jax.grad(lambda e: loss(e, None))(ell)
+        g_exp = jax.grad(lambda e: loss(e, lf.auto_block(64)))(ell)
+        np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_exp))
