@@ -43,7 +43,7 @@ that processes folds ONE AT A TIME off the n^2 K^-1 residual:
 
 Peak live set across a value_and_grad (k = fold_k, st = storage bytes):
   n^2 st  (K^-1 residual)
-  + 1x (dss) / 2x (kc) / 3x (es) [nb, nb] st fold transients  (nb = n/k)
+  + 1x (dss) / 2x (kc, es) [nb, nb] st fold transients  (nb = n/k)
   + O(n * block) stream temps
 vs round-4's n^2 + 2-3 n^2/k stacks + nb^2 fp32 upcasts. At k = 4 the fold
 working set drops from ~n^2/2 to n^2/16-3n^2/16, which is what moves the
@@ -60,8 +60,9 @@ Per-fold cotangent assembly (fold_core math, re-plumbed for one live block):
 - kc (want_inv_diag=True): adds -A^-1 diag(d_bar) A^-1, assembled in ROW
   STRIPS off the in-place A^-1 (live: A^-1 + the building A_bar_f).
 - es: needs the factor inverse Li itself (the collapsed sample-path Cholesky
-  VJP, fold_core's derivation): T = Li^T Phi(eps G^T) Li accumulated through
-  a W1 DUS chain; live: Li + W1 + T (3 blocks at one GEMM).
+  VJP, fold_core's derivation): T = Li^T Phi(eps G^T) Li accumulated
+  DIRECTLY in row strips — W1 = Phi(H) Li is never materialized; live:
+  Li + T (2 blocks, same as kc).
 
 Reference analogue: the per-fold conditional scoring loops of
 `kin40k-FULL-compare.py:500-543` (DSS), `:616-663` (ES) and
@@ -558,18 +559,30 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
     sw, sp = fold_core._panel_width(nb_pad)
     sb = sw if (sp == nb_pad and nb_pad > sw) else nb_pad
     jj = lax.iota(jnp.int32, nb_pad)[None, :]
-    W1 = jnp.zeros((nb_pad, nb_pad), st)
+    # T = Li^T Phi(eps G^T) Li accumulates DIRECTLY in row strips:
+    # T = sum_r Li[r-strip, :]^T (Phi(H)_r Li) — W1 = Phi(H) Li is never
+    # materialized (the W1 DUS chain was a third [nb_pad, nb_pad] live
+    # block, and exactly the ~1 GB by which es missed the dss/kc fp32
+    # ceiling at n = 61,440: OOM by 983.95M with dss/kc at 84M). Live set:
+    # Li + T (+ [sb, *] strip temps) — the same 2-block transient as kc.
+    T0 = jnp.zeros((nb_pad, nb_pad), f32)
 
-    def strip(r0i, W1):
+    def strip(r0i, T):
         r0 = r0i * sb
         Hr = _dot32(lax.dynamic_slice(eps_f, (r0, 0), (sb, 2 * num_sim)), GT)
         gi = (r0 + lax.iota(jnp.int32, sb))[:, None]
         Hr = jnp.where(jj < gi, Hr, jnp.where(jj == gi, 0.5 * Hr, 0.0))
-        W1r = _dot32(Hr.astype(st), Li)
-        return lax.dynamic_update_slice(W1, W1r.astype(st), (r0, 0))
+        W1r = _dot32(Hr.astype(st), Li)  # [sb, nb_pad] fp32
+        LrT = lax.dynamic_slice(Li, (r0, 0), (sb, nb_pad))
+        # contract the strip's row index on dim 0 of BOTH operands: a
+        # [nb_pad, nb_pad] fp32 accumulation, no transposed Li read of the
+        # full block (layout rule: dim-0 contractions only on [sb, *] temps)
+        return T + lax.dot_general(
+            LrT, W1r.astype(st), (((0,), (0,)), ((), ())),
+            precision=mm_precision(), preferred_element_type=f32,
+        )
 
-    W1 = lax.fori_loop(0, nb_pad // sb, strip, W1)
-    T = _dot32(jnp.swapaxes(Li, 0, 1), lax.optimization_barrier(W1)).astype(st)
+    T = lax.fori_loop(0, nb_pad // sb, strip, T0).astype(st)
     Ab = (-0.5 * (u[:, None] * e_p[None, :] + e_p[:, None] * u[None, :])
           ).astype(st) - jnp.asarray(0.5, st) * (T + T.T)
     return Ab[:nb, :nb], u
