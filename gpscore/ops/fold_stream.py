@@ -164,8 +164,11 @@ def _fold_Li(Kinv, foldi, nb):
         Li = jax.scipy.linalg.solve_triangular(La, eye, lower=True)
         return Li.astype(st), hld
     b, _ = fold_core._panel_width(nb)
-    W, hld = potri_inplace.chol_inplace_fori(Ap, b)
-    return potri_inplace.tri_inv_fori_lower(W, b), hld
+    # unroll=True: the fori while-carry double-buffers the [nb_pad, nb_pad]
+    # block (+0.9 GB at the 61k fp32 / 86k 2-byte frontiers); per-fold panel
+    # counts are <= ~21, far below the unrolled compile wall (~60).
+    W, hld = potri_inplace.chol_inplace_fori(Ap, b, unroll=True)
+    return potri_inplace.tri_inv_fori_lower(W, b, unroll=True), hld
 
 
 def _fold_Ainv(Kinv, foldi, nb):
@@ -182,9 +185,10 @@ def _fold_Ainv(Kinv, foldi, nb):
         Li = jax.scipy.linalg.solve_triangular(La, eye, lower=True)
         return _dot32(Li.T, Li).astype(st), hld
     b, _ = fold_core._panel_width(nb)
-    W, hld = potri_inplace.chol_inplace_fori(Ap, b)
-    W, Dstack = potri_inplace._tri_inv_fori(W, b)
-    return potri_inplace._lauum_fori(W, Dstack, b), hld
+    # unroll=True: see _fold_Li (no while-carry double buffer per fold).
+    W, hld = potri_inplace.chol_inplace_fori(Ap, b, unroll=True)
+    W, Dstack = potri_inplace._tri_inv_fori(W, b, unroll=True)
+    return potri_inplace._lauum_fori(W, Dstack, b, unroll=True), hld
 
 
 def _solve_e(Li, a_f, nb):

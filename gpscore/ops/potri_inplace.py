@@ -332,7 +332,7 @@ def ard_khat_matmul_streamed(log_signal_sq, log_length, log_noise_sq, x,
     return lax.fori_loop(0, n // b, panel, jnp.zeros((n, c), f32))
 
 
-def chol_inplace_fori(W, b, n_real=None):
+def chol_inplace_fori(W, b, n_real=None, unroll=False):
     """(W <- L, half_logdet) LEFT-looking blocked Cholesky of the SPD W,
     bounded trace: outer fori over pivots; each column panel subtracts its
     full left update into an fp32 [n, b] accumulator (nested fori over the
@@ -410,10 +410,20 @@ def chol_inplace_fori(W, b, n_real=None):
         W = lax.dynamic_update_slice(W, Lcol.astype(dtype), (0, s))
         return W, hld
 
+    if unroll:
+        # Python-unrolled outer loop (same steps): the while-loop carry
+        # DOUBLE-BUFFERS the [n, n] buffer on the remote compiler
+        # (fold_core._fold_chol_inv's measured lesson) — per-fold consumers
+        # (gpscore.ops.fold_stream) unroll their <= ~21 panels instead and
+        # keep the one-live-block discipline at any storage dtype.
+        carry = (W, jnp.zeros((), jnp.float32))
+        for kk in range(k):
+            carry = chol_step(kk, carry)
+        return carry
     return lax.fori_loop(0, k, chol_step, (W, jnp.zeros((), jnp.float32)))
 
 
-def _tri_inv_fori(W, b):
+def _tri_inv_fori(W, b, unroll=False):
     """W: L (lower, zero strict upper) -> X = L^-1 stored in BOTH triangles,
     bounded trace: lower gets X, the strict upper gets X^T (written block by
     block as each column panel is computed), and the returned sidecar
@@ -477,12 +487,17 @@ def _tri_inv_fori(W, b):
         Dstack = lax.dynamic_update_slice(Dstack, XjjT[None], (pi, 0, 0))
         return W, Dstack
 
+    if unroll:  # see chol_inplace_fori: no while-carry double buffer
+        carry = (W, jnp.zeros((k, b, b), f32))
+        for i in range(k):
+            carry = trtri_step(i, carry)
+        return carry
     return lax.fori_loop(
         0, k, trtri_step, (W, jnp.zeros((k, b, b), f32))
     )
 
 
-def tri_inv_fori_lower(W, b):
+def tri_inv_fori_lower(W, b, unroll=False):
     """W: L (lower, zero strict upper) -> X = L^-1 in place, LOWER TRIANGLE
     ONLY (the strict upper stays exactly zero), bounded trace.
 
@@ -533,10 +548,14 @@ def tri_inv_fori_lower(W, b):
         W = lax.fori_loop(pi + 1, k, row_body, W)
         return lax.dynamic_update_slice(W, Xjj.astype(dtype), (s, s))
 
+    if unroll:  # see chol_inplace_fori: no while-carry double buffer
+        for i in range(k):
+            W = step(i, W)
+        return W
     return lax.fori_loop(0, k, step, W)
 
 
-def _lauum_fori(W, Dstack, b):
+def _lauum_fori(W, Dstack, b, unroll=False):
     """(W, Dstack) from :func:`_tri_inv_fori` -> K_hat^-1 = L^-T L^-1, full
     symmetric, in place, bounded trace.
 
@@ -607,6 +626,10 @@ def _lauum_fori(W, Dstack, b):
 
         return lax.fori_loop(pi, k, col_body, W)
 
+    if unroll:  # see chol_inplace_fori: no while-carry double buffer
+        for pi in range(k):
+            W = lauum_step(pi, W)
+        return W
     return lax.fori_loop(0, k, lauum_step, W)
 
 
