@@ -180,8 +180,11 @@ def main(argv=None):
 
         p0 = GPParams(jnp.float32(0.0), jnp.zeros(args.d, jnp.float32),
                       jnp.float32(-1.0))
+        # es is stochastic: the step signature takes a PRNG key (held fixed
+        # across timing repeats so every step runs the same MC estimate).
+        es_args = ((jax.random.PRNGKey(7),) if args.rule == "es" else ())
         t0 = time.perf_counter()
-        compiled = jax.jit(step).lower(p0, x, y).compile()
+        compiled = jax.jit(step).lower(p0, x, y, *es_args).compile()
         rec["compile_s"] = round(time.perf_counter() - t0, 1)
         try:
             ma = compiled.memory_analysis()
@@ -194,7 +197,7 @@ def main(argv=None):
             rec.update(collective_stats(compiled.as_text()))
 
         t1 = time.perf_counter()
-        loss, _ = compiled(p0, x, y)
+        loss, _ = compiled(p0, x, y, *es_args)
         np.asarray(loss)
         rec["warmup_s"] = round(time.perf_counter() - t1, 1)
         rec["loss"] = float(loss)
@@ -204,7 +207,7 @@ def main(argv=None):
                          jnp.zeros(args.d, jnp.float32) + 0.001 * i,
                          jnp.float32(-1.0 - 0.001 * i))
             ta = time.perf_counter()
-            loss2, _ = compiled(p, x, y)
+            loss2, _ = compiled(p, x, y, *es_args)
             np.asarray(loss2)
             ts.append(time.perf_counter() - ta)
         rec["step_s"] = round(min(ts), 3)
