@@ -256,16 +256,18 @@ def make_sharded_fused_kfold_fit_step(
         )
         Kinv = jax.lax.with_sharding_constraint(Kinv, row)
         a = matmul_acc32(Kinv, y.astype(Kinv.dtype).reshape(n, 1))[:, 0]
+        # Blocks stay in K^-1's STORAGE dtype (f16/bf16 under the 2-byte
+        # modes — the fold consumer upcasts per fold, so no fp32 stack).
         A = jnp.stack([
             jax.lax.dynamic_slice(Kinv, (b * nb, b * nb), (nb, nb))
             for b in range(fold_k)
-        ]).astype(jnp.float32)
+        ])
         # Replicate the fold blocks explicitly: stacked diagonal slices of the
         # row-sharded K^-1 inherit a sharding GSPMD cannot bridge to the
-        # fold-batched layout its blocked-cholesky expansion wants without an
+        # fold-batched layout the per-fold factorization wants without an
         # "involuntary full rematerialization" (replicate-then-reshard) —
-        # seen as an SPMD warning in the dryrun. The fold cholesky/solves
-        # gather their operands either way; doing it here is one explicit
+        # seen as an SPMD warning in the dryrun. The fold chains gather
+        # their operands either way; doing it here is one explicit
         # all_gather of n^2/fold_k, and every downstream reshard becomes a
         # free slice of a replicated tensor.
         A = jax.lax.with_sharding_constraint(
@@ -298,11 +300,35 @@ def make_sharded_fused_kfold_fit_step(
         a, A = solve_blocks(
             p.log_signal_sq, p.log_length, p.log_noise_sq, x, y.reshape(n)
         )
-        La = jnp.linalg.cholesky(A)
+        # fold_core consumer (closed-form A/a adjoints, in-place per-fold
+        # factorization, buffer reuse) instead of the batched cholesky/solve
+        # expanders: at nb >= 4096 the expander VJP chains cost ~1.1 n^2 of
+        # temps (BENCH_NOTES round-2 pathologies) — measured as the sharded
+        # kc step OOMing at n = 32,768 (temp 4.71 n^2/p at 8,192) while the
+        # single-chip path ran 57k+. Same math, same replicated blocks.
+        from gpscore.ops import fold_core
+
         y_b = y.reshape(fold_k, nb)
-        a_b = a.reshape(fold_k, nb, 1)
-        mean = y_b - jax.vmap(linalg.chol_solve_from_factor)(La, a_b)[..., 0]
-        return _fold_loss(rule, mean, La, y_b, key, num_sim, es_beta)
+        a_b = a.reshape(fold_k, nb)
+        if rule == "es":
+            scores = fold_core.fold_es_score(
+                A, a_b, jax.random.key_data(key), num_sim, es_beta
+            )
+            return jnp.sum(scores)
+        stats = fold_core.fold_precision_stats(
+            A, a_b, jnp.zeros((fold_k, nb, 0), A.dtype),
+            want_inv_diag=(rule == "kc"),
+        )
+        if rule == "dss":
+            # DSS_b = nb/2 log 2pi - hld_b + 1/2 e_b^T a_b (r = e; the
+            # quadratic r^T A r collapses to e^T a since A e = a) — the
+            # single-chip objective's identity (gpscore/fit/objectives.py).
+            return (
+                0.5 * fold_k * nb * jnp.log(2.0 * jnp.pi)
+                - jnp.sum(stats.half_logdet)
+                + 0.5 * jnp.sum(stats.e * a_b)
+            )
+        return rules.crps_kfold(y_b - stats.e, stats.inv_diag, y_b)
 
     def step_impl(p, x, y, key):
         loss, grads = jax.value_and_grad(loss_fn)(p, x, y, key)
