@@ -137,12 +137,13 @@ def fit_gd(
 # Measured single-chip fp32-storage objective ceilings (RESULTS.md ceiling
 # tables), per objective family: below these n the fp32-storage "high" mode
 # fits in HBM and is the preferred recovery target; above them only another
-# 2-byte mode can run. The fold family (dss/es/kc 4-fold) peaks higher than
-# the LOO family (crps/logs/interval/nlml) — it carries per-fold factor
-# temps next to the n^2 buffer — so its fp32 bound sits lower.
+# 2-byte mode can run. The fold family (dss/es/kc 4-fold) carries one-two
+# per-fold [n/4, n/4] transients next to the n^2 buffer (a structural
+# n^2 + (n/4)^2 >= HBM floor at 61,440 fp32 — fold_stream module
+# docstring), so its fp32 bound sits just below the LOO family's.
 _FP32_STORAGE_CEILING_N = {
     "loo": 61_440,   # crps/logs/interval/nlml, measured at b=1024
-    "fold": 47_104,  # min over dss/es/kc (dss binds) — conservative
+    "fold": 59_392,  # min over dss/kc (60,416) and es (59,392) — round 5
 }
 
 # Objective families for the recovery ladder (matches the dispatch split in
