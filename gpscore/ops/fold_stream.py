@@ -126,12 +126,14 @@ def _fold_pad(nb: int) -> int:
     return fold_core._panel_width(nb)[1] if nb >= _INPLACE_MIN_NB else nb
 
 
-def _extract_fold(Kinv, foldi, nb):
-    """Fold foldi's [nb, nb] diagonal block of K^-1, padded blockdiag(A, I)
-    to the per-fold panel grid, behind a barrier (XLA otherwise fuses the
-    extraction into the fold chain's first kernels).
+def _prep_block(Df, nb):
+    """Pad an extracted [nb, nb] fold block blockdiag(A, I) to the per-fold
+    panel grid, behind a barrier (XLA otherwise fuses the extraction into
+    the fold chain's first kernels). Shared with the mesh-sharded streamed
+    step (:mod:`gpscore.parallel.sharded_fold_stream`), whose blocks arrive
+    psum-assembled instead of sliced.
 
-    Layout discipline (BENCH_NOTES "layout war"): the slice is fed
+    Layout discipline (BENCH_NOTES "layout war"): the block is fed
     UNTRANSPOSED on the in-place path — ``chol_inplace_fori`` keeps a
     row-major carry, so nothing downstream votes column-major and K^-1's
     layout survives through the fold fori's invariant tuple slot. (A
@@ -142,21 +144,26 @@ def _extract_fold(Kinv, foldi, nb):
     toy/test sizes only) keeps the transposed (bitcast — the block is
     symmetric) feed, absorbing the cholesky custom-call's column-major
     operand demand at the slice."""
-    Df = lax.dynamic_slice(Kinv, (foldi * nb, foldi * nb), (nb, nb))
     if nb < _INPLACE_MIN_NB:
         Df = jnp.swapaxes(Df, 0, 1)
     Ap = _pad_blockdiag_identity_2d(Df, _fold_pad(nb))
     return lax.optimization_barrier(Ap)
 
 
-def _fold_Li(Kinv, foldi, nb):
-    """(Li, half_logdet) for fold foldi: lower-triangular factor INVERSE of
-    A_f = [K_hat^-1]_ff, [nb_pad, nb_pad] in K^-1's storage dtype with an
-    exactly-zero strict upper (identity-padded; pad rows contribute 0 to the
-    half log-det). Factorization + inversion run IN PLACE on the extracted
-    copy: one live block."""
-    st = Kinv.dtype
-    Ap = _extract_fold(Kinv, foldi, nb)
+def _extract_fold(Kinv, foldi, nb):
+    """Fold foldi's prepped diagonal block of K^-1 (see :func:`_prep_block`)."""
+    return _prep_block(
+        lax.dynamic_slice(Kinv, (foldi * nb, foldi * nb), (nb, nb)), nb
+    )
+
+
+def _li_from_prepped(Ap, nb):
+    """(Li, half_logdet) from a prepped fold block: lower-triangular factor
+    INVERSE of A_f = [K_hat^-1]_ff, [nb_pad, nb_pad] in the storage dtype
+    with an exactly-zero strict upper (identity-padded; pad rows contribute
+    0 to the half log-det). Factorization + inversion run IN PLACE on the
+    extracted copy: one live block."""
+    st = Ap.dtype
     if nb < _INPLACE_MIN_NB:
         La = jnp.linalg.cholesky(Ap.astype(f32))
         hld = jnp.sum(jnp.log(jnp.diagonal(La)))
@@ -171,13 +178,12 @@ def _fold_Li(Kinv, foldi, nb):
     return potri_inplace.tri_inv_fori_lower(W, b, unroll=True), hld
 
 
-def _fold_Ainv(Kinv, foldi, nb):
-    """(A_f^-1, half_logdet) for fold foldi: the FULL symmetric inverse,
-    [nb_pad, nb_pad] storage dtype (identity-padded), computed in place
-    through potrf -> trtri -> lauum on the extracted copy: one live block
-    (the dss/kc backward's assembly operand — no factor survives)."""
-    st = Kinv.dtype
-    Ap = _extract_fold(Kinv, foldi, nb)
+def _ainv_from_prepped(Ap, nb):
+    """(A_f^-1, half_logdet) from a prepped fold block: the FULL symmetric
+    inverse, [nb_pad, nb_pad] storage dtype (identity-padded), computed in
+    place through potrf -> trtri -> lauum on the extracted copy: one live
+    block (the dss/kc backward's assembly operand — no factor survives)."""
+    st = Ap.dtype
     if nb < _INPLACE_MIN_NB:
         La = jnp.linalg.cholesky(Ap.astype(f32))
         hld = jnp.sum(jnp.log(jnp.diagonal(La)))
@@ -185,10 +191,20 @@ def _fold_Ainv(Kinv, foldi, nb):
         Li = jax.scipy.linalg.solve_triangular(La, eye, lower=True)
         return _dot32(Li.T, Li).astype(st), hld
     b, _ = fold_core._panel_width(nb)
-    # unroll=True: see _fold_Li (no while-carry double buffer per fold).
+    # unroll=True: see _li_from_prepped (no while-carry double buffer).
     W, hld = potri_inplace.chol_inplace_fori(Ap, b, unroll=True)
     W, Dstack = potri_inplace._tri_inv_fori(W, b, unroll=True)
     return potri_inplace._lauum_fori(W, Dstack, b, unroll=True), hld
+
+
+def _fold_Li(Kinv, foldi, nb):
+    """(Li, half_logdet) for fold foldi of K^-1 (:func:`_li_from_prepped`)."""
+    return _li_from_prepped(_extract_fold(Kinv, foldi, nb), nb)
+
+
+def _fold_Ainv(Kinv, foldi, nb):
+    """(A_f^-1, half_logdet) for fold foldi (:func:`_ainv_from_prepped`)."""
+    return _ainv_from_prepped(_extract_fold(Kinv, foldi, nb), nb)
 
 
 def _solve_e(Li, a_f, nb):

@@ -6,6 +6,11 @@ from gpscore.parallel.sharded_cholesky import (
     sharded_nlml,
     sharded_tri_solve_lower,
 )
+from gpscore.parallel.sharded_fold_stream import (
+    make_sharded_streamed_fold_es,
+    make_sharded_streamed_fold_stats,
+    make_sharded_streamed_kfold_fit_step,
+)
 from gpscore.parallel.sharded_kfold import (
     make_sharded_fused_kfold_fit_step,
     make_sharded_kfold_blocks,
@@ -34,6 +39,9 @@ __all__ = [
     "make_sharded_fused_kfold_fit_step",
     "make_sharded_kfold_blocks",
     "make_sharded_kfold_fit_step",
+    "make_sharded_streamed_fold_es",
+    "make_sharded_streamed_fold_stats",
+    "make_sharded_streamed_kfold_fit_step",
     "make_sharded_fused_loo_fit_step",
     "make_sharded_fused_nlml_fit_step",
     "make_sharded_loo_fit_step",

@@ -220,20 +220,39 @@ def make_sharded_fused_kfold_fit_step(
     block: int = 256,
     num_sim: int = 300,
     es_beta: float = 1.0,
+    streamed: bool = True,
 ):
     """Mesh-sharded FUSED k-fold gradient step: the k-fold counterpart of
     :func:`gpscore.parallel.sharded_loo.make_sharded_fused_loo_fit_step`.
 
-    One custom VJP spans Gram construction + the distributed (K^-1 y, blocks)
-    solve, so only the row-sharded K^-1 survives the forward — which runs
-    the in-place sharded potri pipeline (ONE [n/p, n] buffer per device,
-    :mod:`gpscore.parallel.sharded_potri`); the backward streams the
-    blockdiag(A_bar) sandwich and the recomputed Gram over row blocks into
-    O(d) parameter accumulators. Per-device residency ~n^2/p + the fold
-    blocks' own n^2/fold_k working set. ARD kernel only.
+    ``streamed=True`` (the default since round 5) dispatches to the
+    fold-STREAMED mesh step
+    (:func:`gpscore.parallel.sharded_fold_stream.make_sharded_streamed_kfold_fit_step`):
+    one fold's [nb, nb] block live at a time on any device — per-device
+    residency ~n^2/p + 1-2 (n/fold_k)^2 transients, which is what lets the
+    p = 1 TPU mesh reach the single-chip fold ceilings (the stacked form
+    below OOMs at n = 53,248 fp32 where the single chip runs 60,416).
+
+    ``streamed=False`` keeps the round-4 STACKED composition (parity
+    oracle): one custom VJP spans Gram construction + the distributed
+    (K^-1 y, blocks) solve, so only the row-sharded K^-1 survives the
+    forward — which runs the in-place sharded potri pipeline (ONE [n/p, n]
+    buffer per device, :mod:`gpscore.parallel.sharded_potri`); the backward
+    streams the blockdiag(A_bar) sandwich and the recomputed Gram over row
+    blocks into O(d) parameter accumulators. Per-device residency ~n^2/p +
+    the fold blocks' own replicated n^2/fold_k stacks. ARD kernel only.
     """
     if rule not in KFOLD_RULES:
         raise ValueError(f"rule must be one of {KFOLD_RULES}, got {rule!r}")
+    if streamed:
+        from gpscore.parallel.sharded_fold_stream import (
+            make_sharded_streamed_kfold_fit_step,
+        )
+
+        return make_sharded_streamed_kfold_fit_step(
+            mesh, rule=rule, fold_k=fold_k, lr=lr, axis=axis, block=block,
+            num_sim=num_sim, es_beta=es_beta,
+        )
     from gpscore.parallel.sharded_potri import (
         ard_gram_inverse_inplace_sharded,
         make_streamed_ard_bwd,
