@@ -223,26 +223,32 @@ def make_sharded_streamed_fold_stats(
             ),
             axis,
         )
-        e_rows, hlds, d_rows = [], [], []
-        for f in range(fold_k):
+        # fori over folds, exactly like the single-chip primitive: the loop
+        # is sequential BY CONSTRUCTION, so per-fold blocks never coexist
+        # (a Python-unrolled loop here let XLA hoist all fold_k gather +
+        # factor chains — measured +2 n^2 of temps on the p=1 TPU mesh).
+        def fold_body(f, carry):
+            e_o, hld_o, d_o = carry
             Df = _gather_fold_strip(
                 Kinv_loc, f, f * nb, nb, nb, rows_per, axis
             )
             Li, hld_f = _li_from_prepped(_prep_block(Df, nb), nb)
             a_f = lax.dynamic_slice(a, (f * nb,), (nb,))
-            e_rows.append(_solve_e(Li, a_f, nb))
-            hlds.append(hld_f)
+            e_f = _solve_e(Li, a_f, nb)
+            e_o = lax.dynamic_update_slice(e_o, e_f[None], (f, 0))
+            hld_o = hld_o.at[f].set(hld_f)
             if want_inv_diag:
-                d_rows.append(
-                    jnp.einsum(
-                        "ij,ij->j", Li, Li, precision=mm_precision(),
-                        preferred_element_type=f32,
-                    )[:nb]
-                )
-        e = jnp.stack(e_rows)
-        inv_diag = (jnp.stack(d_rows) if want_inv_diag
-                    else jnp.zeros((fold_k, nb), f32))
-        return e, jnp.stack(hlds), inv_diag, a
+                d_f = jnp.einsum(
+                    "ij,ij->j", Li, Li, precision=mm_precision(),
+                    preferred_element_type=f32,
+                )[:nb]
+                d_o = lax.dynamic_update_slice(d_o, d_f[None], (f, 0))
+            return e_o, hld_o, d_o
+
+        init = (jnp.zeros((fold_k, nb), f32), jnp.zeros((fold_k,), f32),
+                jnp.zeros((fold_k, nb), f32))
+        e, hld, inv_diag = lax.fori_loop(0, fold_k, fold_body, init)
+        return e, hld, inv_diag, a
 
     stats_sm = shard_map(
         _stats_local, mesh=mesh, in_specs=(P(axis), P()),
@@ -290,8 +296,8 @@ def make_sharded_streamed_fold_stats(
             (jnp.zeros((), f32), jnp.zeros((d,), f32), jnp.zeros((d,), f32),
              jnp.zeros((d,), f32), jnp.zeros((), f32)),
         )
-        ub = jnp.zeros((n,), f32)
-        for f in range(fold_k):
+        def fold_body(f, carry):
+            accs, ub = carry
             Df = _gather_fold_strip(
                 Kinv_loc, f, f * nb, nb, nb, rows_per, axis
             )
@@ -309,6 +315,12 @@ def make_sharded_streamed_fold_stats(
                 accs, Kinv_loc, x_full, z, zz, ls, ll, cols_of, block,
                 rows_per, axis,
             )
+            return accs, ub
+
+        # fori over folds: sequential by construction (see _stats_local).
+        accs, ub = lax.fori_loop(
+            0, fold_k, fold_body, (accs, jnp.zeros((n,), f32))
+        )
 
         a_bar = a_bar_out.astype(f32) + ub
         w_loc = matmul_acc32(Kinv_loc, a_bar.astype(st)[:, None])[:, 0]
@@ -386,8 +398,9 @@ def make_sharded_streamed_fold_es(
             ),
             axis,
         )
-        scores, e_rows = [], []
-        for f in range(fold_k):
+        # fori over folds: sequential by construction (see _stats_local).
+        def fold_body(f, carry):
+            scores_o, e_o = carry
             Df = _gather_fold_strip(
                 Kinv_loc, f, f * nb, nb, nb, rows_per, axis
             )
@@ -396,9 +409,15 @@ def make_sharded_streamed_fold_es(
             e_f = _solve_e(Li, a_f, nb)
             eps_f = fold_core._fold_eps(key_data, f, Li.shape[0], num_sim)
             zT = _dot32(jnp.swapaxes(Li, 0, 1), eps_f.astype(st))[:nb]
-            scores.append(fold_core._es_from_cols(zT, e_f, num_sim, es_beta))
-            e_rows.append(e_f)
-        return jnp.stack(scores), jnp.stack(e_rows), a
+            s_f = fold_core._es_from_cols(zT, e_f, num_sim, es_beta)
+            return scores_o.at[f].set(s_f), lax.dynamic_update_slice(
+                e_o, e_f[None], (f, 0))
+
+        scores, e = lax.fori_loop(
+            0, fold_k, fold_body,
+            (jnp.zeros((fold_k,), f32), jnp.zeros((fold_k, nb), f32)),
+        )
+        return scores, e, a
 
     es_sm = shard_map(
         _es_local, mesh=mesh, in_specs=(P(axis), P(), P()),
@@ -448,8 +467,8 @@ def make_sharded_streamed_fold_es(
             (jnp.zeros((), f32), jnp.zeros((d,), f32), jnp.zeros((d,), f32),
              jnp.zeros((d,), f32), jnp.zeros((), f32)),
         )
-        ub = jnp.zeros((n,), f32)
-        for f in range(fold_k):
+        def fold_body(f, carry):
+            accs, ub = carry
             Df = _gather_fold_strip(
                 Kinv_loc, f, f * nb, nb, nb, rows_per, axis
             )
@@ -465,6 +484,12 @@ def make_sharded_streamed_fold_es(
                 accs, Kinv_loc, x_full, z, zz, ls, ll, cols_of, block,
                 rows_per, axis,
             )
+            return accs, ub
+
+        # fori over folds: sequential by construction (see _stats_local).
+        accs, ub = lax.fori_loop(
+            0, fold_k, fold_body, (accs, jnp.zeros((n,), f32))
+        )
 
         w_loc = matmul_acc32(Kinv_loc, ub.astype(st)[:, None])[:, 0]
         w = lax.psum(

@@ -230,6 +230,38 @@ class TestEsStream:
         _assert_grads_close(gn, go, 5e-4, 5e-4)
 
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("st", [jnp.float16, jnp.bfloat16])
+    def test_es_reduced_storage_matches_fp32_at_storage_grade(self, rng, st):
+        """ES under 2-byte storage: the backward's symmetrized T accumulates
+        IN the storage dtype (the fp32 T was the binding es block at the
+        2-byte frontier — fold_stream._fold_cot_es comment); values and
+        grads stay at storage grade vs the fp32 run on the SAME counter-key
+        draws."""
+        from gpscore.utils.precision import matmul_mode
+
+        n, d, fk, S, beta = 64, 3, 4, 9, 1.0
+        x, y, ls, ll, ln = _problem(rng, n, d)
+        kd = jax.random.key_data(jax.random.PRNGKey(7))
+        mode = "f16" if st == jnp.float16 else "bf16"
+        want = ard_fold_es_stream(ls, ll, ln, x, y, kd, fk, S, beta)
+        with matmul_mode(mode):
+            got = ard_fold_es_stream(ls, ll, ln, x, y, kd, fk, S, beta)
+        tol = 5e-2 if st == jnp.bfloat16 else 2e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
+        w = jnp.asarray(rng.standard_normal((fk,)).astype(np.float32))
+
+        def f(ls, ll, ln, y):
+            return jnp.sum(w * ard_fold_es_stream(
+                ls, ll, ln, x, y, kd, fk, S, beta))
+
+        g32 = jax.grad(f, argnums=(0, 1, 2, 3))(ls, ll, ln, y)
+        with matmul_mode(mode):
+            gst = jax.grad(f, argnums=(0, 1, 2, 3))(ls, ll, ln, y)
+        _assert_grads_close(gst, g32, 0.1, 0.1)
+
+
 class TestObjectiveDispatch:
     """The large-n dss/kc/es objectives route through the streamed
     primitives and still match the small-n unfused objectives exactly."""
