@@ -120,9 +120,16 @@ def analytic_collective_bytes(n, block, p, rule, storage_bytes):
     fwd = (n * n * e + 4 * k * block * block  # stage 1 band + pivot psums
            + n * n * e                        # stage 2 strips
            + 4 * n * n)                       # stage 3 fp32 B^T psums
-    bwd = 4 * n * n // p                      # psum_scatter outputs
     if rule in ("dss", "es", "kc"):
-        bwd += n * n * e                      # KB_fold psum (device_within_fold)
+        # fold-STREAMED step (round 5, parallel/sharded_fold_stream.py):
+        # per-fold [nb, nb] block psums in fwd AND bwd (2 n^2 e / fold_k at
+        # the default fold_k=4) + the per-row-block [nb, b] G gathers across
+        # the k sandwich passes (n^2 e total); the backward computes its
+        # local K_hat_bar columns directly, so the LOO path's psum_scatter
+        # term does not appear.
+        bwd = n * n * e + 2 * (n * n * e) // 4
+    else:
+        bwd = 4 * n * n // p                  # psum_scatter outputs
     return {"analytic_collective_bytes": fwd + bwd,
             "analytic_collective_gb": round((fwd + bwd) / 1e9, 3)}
 

@@ -586,19 +586,21 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
     # ceiling at n = 61,440: OOM by 983.95M with dss/kc at 84M). Live set:
     # Li + T (+ [sb, *] strip temps) — the same 2-block transient as kc.
     #
-    # Under 2-byte STORAGE the fp32 T accumulator is itself the binding
-    # block (2x the f16 Li/Ab; the measured 708 MB es f16 miss at 83,968
-    # while dss/kc ran 86,016 — RESULTS.md round-5). There the strip
-    # accumulates the SYMMETRIZED term 0.5 (E_r + E_r^T) per strip straight
-    # into a storage-dtype buffer (E_r^T via a second dim-0 contraction of
-    # the same [sb, *] temps — ~nb^3 extra MACs per fold, a few percent of
-    # the step), and Ab's elementwise epilogue aliases it: live set Li +
-    # Tsym, both 2-byte. Rounding each strip's contribution to st adds
-    # ~sqrt(#strips) * eps_st relative noise to T — noise next to the ES
-    # objective's own 1/sqrt(S) MC error, and zero change under fp32
-    # storage, which keeps the exact fp32 accumulator below.
-    sym2byte = jnp.dtype(st).itemsize == 2
-    T0 = jnp.zeros((nb_pad, nb_pad), st if sym2byte else f32)
+    # The strips accumulate the SYMMETRIZED term 0.5 (E_r + E_r^T) per
+    # strip straight into a STORAGE-dtype buffer (E_r^T via a second dim-0
+    # contraction of the same [sb, *] temps — ~nb^3 extra MACs per fold, a
+    # few percent of the step). That kills TWO blocks at once: the fp32
+    # accumulator a plain T needs (2x the 2-byte Li/Ab; the measured
+    # 708 MB es f16 miss at 83,968 while dss/kc ran 86,016), AND the
+    # (T + T.T) epilogue's transpose copy (a third live block under fp32 —
+    # the 747 MB es fp32 miss at 60,416). Live set: Li + Tsym, with Ab's
+    # elementwise epilogue aliasing Tsym. Under 2-byte storage, rounding
+    # each strip's contribution to st adds ~sqrt(#strips) * eps_st
+    # relative noise to T — noise next to the ES objective's own
+    # 1/sqrt(S) MC error (pinned at storage grade by
+    # test_es_reduced_storage_matches_fp32_at_storage_grade); under fp32
+    # the accumulation stays fp32 and only the addition order changes.
+    T0 = jnp.zeros((nb_pad, nb_pad), st)
 
     def strip(r0i, T):
         r0 = r0i * sb
@@ -607,15 +609,13 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
         Hr = jnp.where(jj < gi, Hr, jnp.where(jj == gi, 0.5 * Hr, 0.0))
         W1r = _dot32(Hr.astype(st), Li).astype(st)  # [sb, nb_pad]
         LrT = lax.dynamic_slice(Li, (r0, 0), (sb, nb_pad))
-        # contract the strip's row index on dim 0 of BOTH operands: a
-        # [nb_pad, nb_pad] fp32 accumulation, no transposed Li read of the
-        # full block (layout rule: dim-0 contractions only on [sb, *] temps)
+        # contract the strip's row index on dim 0 of BOTH operands: fp32
+        # block products, no transposed Li read of the full block (layout
+        # rule: dim-0 contractions only on [sb, *] temps)
         E = lax.dot_general(
             LrT, W1r, (((0,), (0,)), ((), ())),
             precision=mm_precision(), preferred_element_type=f32,
         )
-        if not sym2byte:
-            return T + E
         Et = lax.dot_general(
             W1r, LrT, (((0,), (0,)), ((), ())),
             precision=mm_precision(), preferred_element_type=f32,
@@ -623,13 +623,8 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
         return T + (0.5 * (E + Et)).astype(st)
 
     T = lax.fori_loop(0, nb_pad // sb, strip, T0)
-    sym_ue = (-0.5 * (u[:, None] * e_p[None, :] + e_p[:, None] * u[None, :])
-              ).astype(st)
-    if sym2byte:
-        Ab = sym_ue - T  # T already symmetrized and halved
-    else:
-        T = T.astype(st)
-        Ab = sym_ue - jnp.asarray(0.5, st) * (T + T.T)
+    Ab = (-0.5 * (u[:, None] * e_p[None, :] + e_p[:, None] * u[None, :])
+          ).astype(st) - T  # T already symmetrized and halved
     return Ab[:nb, :nb], u
 
 

@@ -218,6 +218,8 @@ def test_bench_sharded_driver_cpu():
     assert rec["projected_step_s"] == round(
         projected_step_s(rec["step_s"] * 8, 8,
                          rec["analytic_collective_bytes"], 45.0), 3)
-    # kfold adds the KB_fold psum term
+    # kfold (fold-STREAMED step): no psum_scatter term; fold-block psums in
+    # fwd + bwd (2 n^2 e / 4) plus the per-row-block G gathers (n^2 e)
     kf = analytic_collective_bytes(n, b, p, "dss", 4)
-    assert kf["analytic_collective_bytes"] == want + 4 * n * n
+    want_kf = want - 4 * n * n // p + 4 * n * n + 2 * (4 * n * n) // 4
+    assert kf["analytic_collective_bytes"] == want_kf
