@@ -161,6 +161,50 @@ def _acc_stream_pass(accs, Kinv_loc, x_full, z, zz, ls, ll, cols_of, b,
     return lax.fori_loop(0, n // b, body, accs)
 
 
+def _rank1_accs_sharded(accs, x_full, z, zz, ls, ll, w, a, rows_per, axis,
+                        b):
+    """Rank-1 term ``K_hat_bar += -w a^T`` contracted against the ARD chain
+    rule WITHOUT an n^2 stream pass — the single-chip matvec collapse
+    (:func:`gpscore.ops.fold_stream._rank1_accs`) on the row shard: this
+    device's rows of KV for V = [a | w | a o z] via per-panel Gram
+    recompute (no [n/p, n] buffer), then O(n/p) local reductions into the
+    carries. The caller's final psum(accs) completes the cross-device sum
+    (each accumulator is a full double sum partitioned by LOCAL rows here
+    vs local COLUMNS in :func:`_acc_stream_pass` — same totals)."""
+    n, d = x_full.shape
+    idx = lax.axis_index(axis)
+    row0 = idx * rows_per
+    x_loc = lax.dynamic_slice(x_full, (row0, 0), (rows_per, d))
+    z_loc = lax.dynamic_slice(z, (row0, 0), (rows_per, d))
+    zz_loc = lax.dynamic_slice(zz, (row0, 0), (rows_per, d))
+    w_loc = lax.dynamic_slice(w, (row0,), (rows_per,))
+    a_loc = lax.dynamic_slice(a, (row0,), (rows_per,))
+    V = jnp.concatenate([a[:, None], w[:, None], a[:, None] * z], axis=1)
+
+    def panel(cb, KV):
+        c0 = cb * b
+        Kp = ard_gram(
+            x_loc, lax.dynamic_slice(x_full, (c0, 0), (b, d)), ls, ll
+        )
+        return KV + jnp.matmul(
+            Kp, lax.dynamic_slice(V, (c0, 0), (b, d + 2)),
+            precision=mm_precision(),
+        )
+
+    KV = lax.fori_loop(
+        0, n // b, panel,
+        lax.pcast(jnp.zeros((rows_per, d + 2), f32), (axis,), to="varying"),
+    )
+    Ka, Kw, Kaz = KV[:, 0], KV[:, 1], KV[:, 2:]
+    s_a, rzz, czz, cross, tr = accs
+    s_a = s_a - jnp.sum(w_loc * Ka)
+    rzz = rzz - jnp.sum((w_loc * Ka)[:, None] * zz_loc, axis=0)
+    czz = czz - jnp.sum((a_loc * Kw)[:, None] * zz_loc, axis=0)
+    cross = cross - jnp.sum(w_loc[:, None] * z_loc * Kaz, axis=0)
+    tr = tr - jnp.sum(w_loc * a_loc)
+    return s_a, rzz, czz, cross, tr
+
+
 def _fold_sandwich_cols(Kinv_loc, Ab_f, f, nb, rows_per, axis, b):
     """Returns ``cols_of(s) -> [b, rows_per]`` producing this device's local
     columns of ``-K^-1[:, cols_f] A_bar_f K^-1[cols_f, :]`` for row block s
@@ -289,7 +333,6 @@ def make_sharded_streamed_fold_stats(
         st = Kinv_loc.dtype
         z = x_full * jnp.exp(-jnp.reshape(ll, (1, -1)))
         zz = z * z
-        a_loc = lax.dynamic_slice(a, (row0,), (rows_per,))
 
         accs = jax.tree.map(
             lambda v: lax.pcast(v, (axis,), to="varying"),
@@ -330,14 +373,8 @@ def make_sharded_streamed_fold_stats(
             ),
             axis,
         )
-
-        def rank1_cols(s):
-            w_B = lax.dynamic_slice(w, (s,), (block,))
-            return -w_B[:, None] * a_loc[None, :]
-
-        accs = _acc_stream_pass(
-            accs, Kinv_loc, x_full, z, zz, ls, ll, rank1_cols, block,
-            rows_per, axis,
+        accs = _rank1_accs_sharded(
+            accs, x_full, z, zz, ls, ll, w, a, rows_per, axis, block
         )
         s_acc, rzz, czz, cross, tr = lax.psum(accs, axis)
         l_bar = jnp.reshape(rzz + czz - 2.0 * cross, jnp.shape(ll))
@@ -460,7 +497,6 @@ def make_sharded_streamed_fold_es(
         st = Kinv_loc.dtype
         z = x_full * jnp.exp(-jnp.reshape(ll, (1, -1)))
         zz = z * z
-        a_loc = lax.dynamic_slice(a, (row0,), (rows_per,))
 
         accs = jax.tree.map(
             lambda v: lax.pcast(v, (axis,), to="varying"),
@@ -498,14 +534,8 @@ def make_sharded_streamed_fold_es(
             ),
             axis,
         )
-
-        def rank1_cols(s):
-            w_B = lax.dynamic_slice(w, (s,), (block,))
-            return -w_B[:, None] * a_loc[None, :]
-
-        accs = _acc_stream_pass(
-            accs, Kinv_loc, x_full, z, zz, ls, ll, rank1_cols, block,
-            rows_per, axis,
+        accs = _rank1_accs_sharded(
+            accs, x_full, z, zz, ls, ll, w, a, rows_per, axis, block
         )
         s_acc, rzz, czz, cross, tr = lax.psum(accs, axis)
         l_bar = jnp.reshape(rzz + czz - 2.0 * cross, jnp.shape(ll))
