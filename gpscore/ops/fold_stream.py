@@ -586,21 +586,21 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
     # ceiling at n = 61,440: OOM by 983.95M with dss/kc at 84M). Live set:
     # Li + T (+ [sb, *] strip temps) — the same 2-block transient as kc.
     #
-    # The strips accumulate the SYMMETRIZED term 0.5 (E_r + E_r^T) per
-    # strip straight into a STORAGE-dtype buffer (E_r^T via a second dim-0
-    # contraction of the same [sb, *] temps — ~nb^3 extra MACs per fold, a
-    # few percent of the step). That kills TWO blocks at once: the fp32
-    # accumulator a plain T needs (2x the 2-byte Li/Ab; the measured
-    # 708 MB es f16 miss at 83,968 while dss/kc ran 86,016), AND the
-    # (T + T.T) epilogue's transpose copy (a third live block under fp32 —
-    # the 747 MB es fp32 miss at 60,416). Live set: Li + Tsym, with Ab's
-    # elementwise epilogue aliasing Tsym. Under 2-byte storage, rounding
-    # each strip's contribution to st adds ~sqrt(#strips) * eps_st
-    # relative noise to T — noise next to the ES objective's own
-    # 1/sqrt(S) MC error (pinned at storage grade by
-    # test_es_reduced_storage_matches_fp32_at_storage_grade); under fp32
-    # the accumulation stays fp32 and only the addition order changes.
+    # T accumulates TILE-WISE into a STORAGE-dtype buffer: per row strip r
+    # (Hr/W1r [sb, nb_pad] f32 temps), an inner fori over column panels
+    # adds the [nb_pad, sb] product into T's panel. The accumulation
+    # transient is [nb_pad, sb] — a whole-block fp32 accumulator (and the
+    # whole-block fp32 GEMM output a single `T + E_r` add materializes)
+    # was 2x the 2-byte Li/Ab and the measured 708 MB es f16 miss at
+    # 83,968 while dss/kc ran 86,016 (round-5 probes; a symmetrized
+    # E_r + E_r^T variant was measured NOT to help — the two full-block
+    # fp32 GEMM outputs coexist). Under 2-byte storage the tile
+    # read-modify-write adds ~sqrt(#strips) * eps_st relative rounding to
+    # T — noise next to the ES objective's own 1/sqrt(S) MC error (pinned
+    # by test_es_reduced_storage_matches_fp32_at_storage_grade); fp32
+    # storage keeps fp32 accumulation, only the addition order changes.
     T0 = jnp.zeros((nb_pad, nb_pad), st)
+    kc_panels = nb_pad // sb
 
     def strip(r0i, T):
         r0 = r0i * sb
@@ -609,22 +609,44 @@ def _fold_cot_es(Li, e_f, s_bar_f, key_data, foldi, nb, num_sim, beta):
         Hr = jnp.where(jj < gi, Hr, jnp.where(jj == gi, 0.5 * Hr, 0.0))
         W1r = _dot32(Hr.astype(st), Li).astype(st)  # [sb, nb_pad]
         LrT = lax.dynamic_slice(Li, (r0, 0), (sb, nb_pad))
-        # contract the strip's row index on dim 0 of BOTH operands: fp32
-        # block products, no transposed Li read of the full block (layout
-        # rule: dim-0 contractions only on [sb, *] temps)
-        E = lax.dot_general(
-            LrT, W1r, (((0,), (0,)), ((), ())),
-            precision=mm_precision(), preferred_element_type=f32,
-        )
-        Et = lax.dot_general(
-            W1r, LrT, (((0,), (0,)), ((), ())),
-            precision=mm_precision(), preferred_element_type=f32,
-        )  # = E^T, same dim-0 contraction shape
-        return T + (0.5 * (E + Et)).astype(st)
+
+        def cpanel(ci, T):
+            c0 = ci * sb
+            # contract the strip's row index on dim 0 of BOTH operands:
+            # fp32 [nb_pad, sb] tile, no transposed Li read of the full
+            # block (layout rule: dim-0 contractions on [sb, *] temps)
+            blk = lax.dot_general(
+                LrT, lax.dynamic_slice(W1r, (0, c0), (sb, sb)),
+                (((0,), (0,)), ((), ())),
+                precision=mm_precision(), preferred_element_type=f32,
+            )
+            cur = lax.dynamic_slice(T, (0, c0), (nb_pad, sb))
+            return lax.dynamic_update_slice(
+                T, (cur.astype(f32) + blk).astype(st), (0, c0)
+            )
+
+        return lax.fori_loop(0, kc_panels, cpanel, T)
 
     T = lax.fori_loop(0, nb_pad // sb, strip, T0)
-    Ab = (-0.5 * (u[:, None] * e_p[None, :] + e_p[:, None] * u[None, :])
-          ).astype(st) - T  # T already symmetrized and halved
+    # Panel-wise symmetrizing epilogue: Ab[:, c] = -sym(u e^T)[:, c]
+    # - (T[:, c] + T[c, :]^T)/2 — T's transpose is only ever read as
+    # [sb, nb_pad] slice transposes (the allowed strip class), never as a
+    # whole-block copy (the third live block that cost the fp32 es path
+    # 60,416: OOM by 747 MB with dss/kc running it). Li is dead here; the
+    # live set is T + the building Ab.
+    Ab0 = jnp.zeros((nb_pad, nb_pad), st)
+
+    def sym_panel(ci, Ab):
+        c0 = ci * sb
+        Tc = lax.dynamic_slice(T, (0, c0), (nb_pad, sb)).astype(f32)
+        Tr = lax.dynamic_slice(T, (c0, 0), (sb, nb_pad)).astype(f32)
+        u_c = lax.dynamic_slice(u, (c0,), (sb,))
+        e_c = lax.dynamic_slice(e_p, (c0,), (sb,))
+        col = (-0.5 * (u[:, None] * e_c[None, :] + e_p[:, None] * u_c[None, :])
+               - 0.5 * (Tc + jnp.swapaxes(Tr, 0, 1))).astype(st)
+        return lax.dynamic_update_slice(Ab, col, (0, c0))
+
+    Ab = lax.fori_loop(0, kc_panels, sym_panel, Ab0)
     return Ab[:nb, :nb], u
 
 

@@ -210,11 +210,13 @@ def _fold_sandwich_cols(Kinv_loc, Ab_f, f, nb, rows_per, axis, b):
     columns of ``-K^-1[:, cols_f] A_bar_f K^-1[cols_f, :]`` for row block s
     (module docstring: M1 form at p <= fold_k, N form above)."""
     st = Kinv_loc.dtype
-    Kslice = lax.dynamic_slice(Kinv_loc, (0, f * nb), (rows_per, nb))
     use_nf = rows_per < nb
     if use_nf:
-        # N_f = A_bar_f @ K^-1[cols_f, R_q]: dim-1 x dim-1 contraction (the
-        # local slice is never transposed wholesale — layout rules).
+        # N_f = A_bar_f @ K^-1[cols_f, R_q]: dim-1 x dim-1 contraction of
+        # the [rows_per, nb] local slice (n^2/(fold_k p) — small at the
+        # p > fold_k meshes this branch serves; never transposed wholesale
+        # — layout rules).
+        Kslice = lax.dynamic_slice(Kinv_loc, (0, f * nb), (rows_per, nb))
         N_f = lax.dot_general(
             Ab_f, Kslice, (((1,), (1,)), ((), ())),
             precision=mm_precision(), preferred_element_type=f32,
@@ -223,16 +225,32 @@ def _fold_sandwich_cols(Kinv_loc, Ab_f, f, nb, rows_per, axis, b):
     def cols_of(s):
         G = _gather_fold_strip(Kinv_loc, f, s, b, nb, rows_per, axis)
         if use_nf:
-            S = lax.dot_general(
+            return -lax.dot_general(
                 G, N_f, (((0,), (0,)), ((), ())),
                 precision=mm_precision(), preferred_element_type=f32,
             )
-        else:
-            M1 = _dot32(Ab_f, G).astype(st)  # [nb, b] replicated
-            S = lax.dot_general(
-                M1, Kslice, (((0,), (1,)), ((), ())),
+        M1 = _dot32(Ab_f, G).astype(st)  # [nb, b] replicated
+        # S's column panels accumulate through a DUS chain reading [b, nb]
+        # loop-offset slices of the SYMMETRIC K^-1 (K^-1[cols_f, co-panel]
+        # = K^-1[co-panel, cols_f]^T) — the single-chip _sandwich_pass
+        # discipline. A single whole-column GEMM here reads a
+        # [rows_per, nb] slice that XLA materializes: n^2 e / fold_k per
+        # device at p = 1, measured as the 2.4-2.7 GB by which the p=1
+        # mesh missed the single-chip fold ceilings (60,416 fp32 /
+        # 86,016 f16 OOM dumps, round 5).
+        def cb_body(cb, S):
+            co = cb * b
+            ST = lax.dynamic_slice(Kinv_loc, (co, f * nb), (b, nb))
+            blk = lax.dot_general(
+                M1, ST, (((0,), (1,)), ((), ())),
                 precision=mm_precision(), preferred_element_type=f32,
             )
+            return lax.dynamic_update_slice(S, blk, (0, co))
+
+        S = lax.fori_loop(
+            0, rows_per // b, cb_body,
+            lax.pcast(jnp.zeros((b, rows_per), f32), (axis,), to="varying"),
+        )
         return -S
 
     return cols_of
